@@ -1,0 +1,49 @@
+"""npf_gwwaveform_tpu — a TPU-native JAX/Flax framework for the Neural Process Family
+applied to gravitational-wave waveforms.
+
+A ground-up rebuild of the capabilities of `MarinerQ/npf_GWwaveform` (the Neural
+Process Family library: CNP / LNP / AttnCNP / AttnLNP / ConvCNP / ConvLNP /
+GridConvCNP / GridConvLNP, their CNPF / ELBO / NPML / SUMO objectives, synthetic
+GP-function + image datasets, and a training/eval harness) designed TPU-first:
+
+* padded + masked point sets everywhere (static shapes for XLA),
+* bfloat16 matmuls on the MXU with float32 log-prob reductions,
+* `jax.sharding.Mesh` + data-parallel `jit` train steps with psum all-reduce,
+* Pallas kernels for the SetConv hot path,
+* a jit-compiled batched gravitational-waveform generator (IMRPhenomD-style)
+  replacing the reference's CPU sklearn GP sampler.
+
+Reference layer map: /root/reference SURVEY.md §1-2.
+"""
+
+__version__ = "0.1.0"
+
+from . import distributions, losses
+from .models import (
+    CNP,
+    LNP,
+    AttnCNP,
+    AttnLNP,
+    ConvCNP,
+    ConvLNP,
+    GridConvCNP,
+    GridConvLNP,
+)
+from .losses import CNPFLoss, ELBOLossLNPF, NLLLossLNPF, SUMOLossLNPF
+
+__all__ = [
+    "CNP",
+    "LNP",
+    "AttnCNP",
+    "AttnLNP",
+    "ConvCNP",
+    "ConvLNP",
+    "GridConvCNP",
+    "GridConvLNP",
+    "CNPFLoss",
+    "ELBOLossLNPF",
+    "NLLLossLNPF",
+    "SUMOLossLNPF",
+    "distributions",
+    "losses",
+]

@@ -1,0 +1,44 @@
+from .mlp import MLP
+from .encoders import (
+    DiscardIthArg,
+    MergeFlatInputs,
+    RelativeSinusoidalEncodings,
+    SinusoidalEncodings,
+    discard_ith_arg,
+    merge_flat_input,
+)
+from .attention import get_attender
+from .selfattn import SelfAttention
+from .setconv import ExpRBF, MlpRBF, SetConv, UnsharedExpRBF
+from .cnn import (
+    CNN,
+    AbsConv,
+    ConvBlock,
+    DepthSepConv,
+    GaussianConv2d,
+    ResConvBlock,
+    UnetCNN,
+)
+
+__all__ = [
+    "MLP",
+    "MergeFlatInputs",
+    "DiscardIthArg",
+    "merge_flat_input",
+    "discard_ith_arg",
+    "SinusoidalEncodings",
+    "RelativeSinusoidalEncodings",
+    "get_attender",
+    "SelfAttention",
+    "SetConv",
+    "ExpRBF",
+    "MlpRBF",
+    "UnsharedExpRBF",
+    "CNN",
+    "UnetCNN",
+    "AbsConv",
+    "ConvBlock",
+    "ResConvBlock",
+    "DepthSepConv",
+    "GaussianConv2d",
+]

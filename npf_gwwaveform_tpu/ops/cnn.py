@@ -1,0 +1,311 @@
+"""Depthwise-separable CNN stack for Conv[C|L]NP grid processing.
+
+Parity targets: /root/reference/npf/architectures/cnn.py — `ConvBlock`
+(:56-123), `ResConvBlock` (:126-215, pre-activation ResNet with the residual
+added *before* the pointwise conv), `CNN` (:307-380), `UnetCNN` (:383-516,
+channel doubling capped at `max_nchannels`, optional shared-bottleneck), and
+`GaussianConv2d` (:24-53); plus `make_abs_conv` (npf/utils/helpers.py:316-331)
+used by GridConvCNP's density-normalized context embedding.
+
+TPU-first: everything is channel-LAST (the native XLA conv layout, no
+channels_to_2nd_dim transposes), works for 1-D [B,L,C] and 2-D [B,H,W,C]
+inputs alike, and depthwise+pointwise pairs are left for XLA to fuse.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..utils import init as winit
+
+
+def _norm_layer(norm: str, name: str):
+    if norm in (None, "identity"):
+        return lambda x, train=True: x
+    if norm == "layer":
+        ln = nn.LayerNorm(name=name)
+        return lambda x, train=True: ln(x)
+    if norm == "batch":
+        bn = nn.BatchNorm(
+            use_running_average=None, momentum=0.9, epsilon=1e-3, name=name
+        )
+        return lambda x, train=True: bn(x, use_running_average=not train)
+    raise ValueError(f"Unknown norm={norm}")
+
+
+class DepthSepConv(nn.Module):
+    """Depthwise conv then pointwise 1x1 (ref helpers.py:354-403).
+    kernel_size is an int; spatial rank inferred from the input."""
+
+    out_chan: int
+    kernel_size: int
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n_spatial = x.ndim - 2
+        in_chan = x.shape[-1]
+        x = nn.Conv(
+            in_chan,
+            kernel_size=(self.kernel_size,) * n_spatial,
+            padding="SAME",
+            feature_group_count=in_chan,
+            use_bias=self.use_bias,
+            kernel_init=winit.kaiming_normal_fanout,
+            dtype=self.dtype,
+            name="depthwise",
+        )(x)
+        return nn.Conv(
+            self.out_chan,
+            kernel_size=(1,) * n_spatial,
+            use_bias=self.use_bias,
+            kernel_init=winit.kaiming_normal_fanout,
+            dtype=self.dtype,
+            name="pointwise",
+        )(x)
+
+
+class ConvBlock(nn.Module):
+    """norm -> act -> depth-sep conv (reference cnn.py:56-123)."""
+
+    out_chan: int
+    kernel_size: int = 5
+    norm: Optional[str] = None
+    activation: Callable = nn.relu
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        x = _norm_layer(self.norm, "norm")(x, train)
+        x = self.activation(x)
+        return DepthSepConv(
+            self.out_chan, self.kernel_size, dtype=self.dtype, name="conv"
+        )(x)
+
+
+class ResConvBlock(nn.Module):
+    """Pre-activation residual depthwise-separable block
+    (reference cnn.py:126-215). The residual joins BEFORE the pointwise conv
+    so the block can change channel count."""
+
+    out_chan: int
+    kernel_size: int = 5
+    norm: Optional[str] = None
+    activation: Callable = nn.relu
+    n_conv_layers: int = 1
+    is_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        assert self.n_conv_layers in (1, 2)
+        if self.kernel_size % 2 == 0:
+            raise ValueError(f"kernel_size={self.kernel_size} must be odd")
+        n_spatial = x.ndim - 2
+        in_chan = x.shape[-1]
+
+        out = x
+        if self.n_conv_layers == 2:
+            out = _norm_layer(self.norm, "norm1")(out, train)
+            out = self.activation(out)
+            out = DepthSepConv(
+                in_chan,
+                self.kernel_size,
+                use_bias=self.is_bias,
+                dtype=self.dtype,
+                name="conv1",
+            )(out)
+
+        out = _norm_layer(self.norm, "norm2")(out, train)
+        out = self.activation(out)
+        out = nn.Conv(
+            in_chan,
+            kernel_size=(self.kernel_size,) * n_spatial,
+            padding="SAME",
+            feature_group_count=in_chan,
+            use_bias=self.is_bias,
+            kernel_init=winit.kaiming_normal_fanout,
+            dtype=self.dtype,
+            name="conv2_depthwise",
+        )(out)
+        out = out + x  # residual before pointwise (cnn.py:212-213)
+        return nn.Conv(
+            self.out_chan,
+            kernel_size=(1,) * n_spatial,
+            use_bias=self.is_bias,
+            kernel_init=winit.kaiming_normal_fanout,
+            dtype=self.dtype,
+            name="conv2_pointwise",
+        )(out)
+
+
+def _channel_list(n_channels: Union[int, Sequence[int]], n_blocks: int):
+    if isinstance(n_channels, int):
+        chans = [n_channels] * (n_blocks + 1)
+    else:
+        chans = list(n_channels)
+    assert len(chans) == n_blocks + 1, f"{len(chans)} != {n_blocks + 1}"
+    return chans
+
+
+class CNN(nn.Module):
+    """Sequential stack of ConvBlocks, channel-last (reference cnn.py:307-380)."""
+
+    n_channels: Union[int, Sequence[int]]
+    n_blocks: int = 3
+    kernel_size: int = 5
+    norm: Optional[str] = None
+    ConvBlockModule: Callable[..., nn.Module] = ResConvBlock
+    block_kwargs: Optional[dict] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        chans = _channel_list(self.n_channels, self.n_blocks)
+        for i, out_chan in enumerate(chans[1:]):
+            x = self.ConvBlockModule(
+                out_chan,
+                kernel_size=self.kernel_size,
+                norm=self.norm,
+                dtype=self.dtype,
+                name=f"block_{i}",
+                **(self.block_kwargs or {}),
+            )(x, train=train)
+        return x
+
+
+class UnetCNN(nn.Module):
+    """U-Net over the grid (reference cnn.py:383-516): down blocks with
+    max-pool, bottleneck, up blocks with linear upsampling + skip concat.
+    Channel count doubles per down level, capped at `max_nchannels`."""
+
+    n_channels: Union[int, Sequence[int]]
+    n_blocks: int = 5
+    kernel_size: int = 5
+    norm: Optional[str] = None
+    max_nchannels: int = 256
+    pooling_size: int = 2
+    is_force_same_bottleneck: bool = False
+    ConvBlockModule: Callable[..., nn.Module] = ResConvBlock
+    block_kwargs: Optional[dict] = None
+    dtype: Optional[jnp.dtype] = None
+
+    def _in_out_channels(self):
+        assert self.n_blocks % 2 == 1, f"n_blocks={self.n_blocks} not odd"
+        if isinstance(self.n_channels, int):
+            chans = [2**i * self.n_channels for i in range(self.n_blocks // 2 + 1)]
+            chans = chans + chans[::-1]
+            chans = (
+                chans[:1] + [min(c, self.max_nchannels) for c in chans[1:-1]] + chans[-1:]
+            )
+        else:
+            chans = list(self.n_channels)
+        return list(zip(chans, chans[1:]))
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        in_out = self._in_out_channels()
+        n_down = self.n_blocks // 2
+        n_spatial = x.ndim - 2
+
+        def block(i, out_chan, x):
+            return self.ConvBlockModule(
+                out_chan,
+                kernel_size=self.kernel_size,
+                norm=self.norm,
+                dtype=self.dtype,
+                name=f"block_{i}",
+                **(self.block_kwargs or {}),
+            )(x, train=train)
+
+        residuals = []
+        for i in range(n_down):
+            x = block(i, in_out[i][1], x)
+            residuals.append(x)
+            x = nn.max_pool(
+                x,
+                window_shape=(self.pooling_size,) * n_spatial,
+                strides=(self.pooling_size,) * n_spatial,
+            )
+
+        x = block(n_down, in_out[n_down][1], x)
+
+        if self.is_force_same_bottleneck and train:
+            # average bottlenecks of paired samples of the same function
+            # (reference cnn.py:466-475); first/second half of batch pair up
+            b = x.shape[0]
+            x_mean = 0.5 * (x[: b // 2] + x[b // 2 :])
+            x = jnp.concatenate([x_mean, x_mean], axis=0)
+
+        for i in range(n_down + 1, self.n_blocks):
+            new_spatial = tuple(s * self.pooling_size for s in x.shape[1:-1])
+            x = jax.image.resize(
+                x, (x.shape[0], *new_spatial, x.shape[-1]), method="linear"
+            )
+            x = jnp.concatenate([x, residuals[n_down - i]], axis=-1)
+            x = block(i, in_out[i][1], x)
+        return x
+
+
+class GaussianConv2d(nn.Module):
+    """Learned separable Gaussian blur (reference cnn.py:24-53)."""
+
+    kernel_size: int = 5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        assert self.kernel_size % 2 == 1
+        w_x = self.param("weights_x", winit.ones, (1,))
+        w_y = self.param("weights_y", winit.ones, (1,))
+        half = self.kernel_size // 2
+        exponent = -((jnp.arange(self.kernel_size, dtype=jnp.float32) - half) ** 2)
+        mx = jax.nn.softmax(exponent * w_x)
+        my = jax.nn.softmax(exponent * w_y)
+        filt = jnp.outer(mx, my)  # [k, k]
+        in_chan = x.shape[-1]
+        # depthwise conv: HWIO kernel [k,k,1,in_chan] with groups=in_chan
+        kernel = jnp.tile(filt[:, :, None, None], (1, 1, 1, in_chan))
+        return jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=in_chan,
+        )
+
+
+class AbsConv(nn.Module):
+    """Depthwise conv with |weights| — a nonnegative smoothing kernel usable
+    as a density estimator (ref make_abs_conv, npf/utils/helpers.py:316-331).
+    Used by GridConvCNP's context-to-induced embedding (gridconvnp.py:83-90).
+    """
+
+    kernel_size: int = 11
+    use_bias: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n_spatial = x.ndim - 2
+        in_chan = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            winit.kaiming_normal_fanout,
+            (self.kernel_size,) * n_spatial + (1, in_chan),
+        )
+        dn_in = "NWC" if n_spatial == 1 else "NHWC"
+        dn_k = "WIO" if n_spatial == 1 else "HWIO"
+        return jax.lax.conv_general_dilated(
+            x,
+            jnp.abs(kernel).astype(x.dtype),
+            window_strides=(1,) * n_spatial,
+            padding="SAME",
+            dimension_numbers=(dn_in, dn_k, dn_in),
+            feature_group_count=in_chan,
+        )
