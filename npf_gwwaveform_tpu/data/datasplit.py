@@ -1,0 +1,244 @@
+"""Context/target splitters producing padded + masked splits.
+
+Parity target: /root/reference/npf/utils/datasplit.py — index samplers
+`get_all_indcs` (:30), `GetRangeIndcs` (:37), `GetRandomIndcs` (:60-145:
+uniform count in [a,b] shared across the batch, ratio-or-absolute,
+per-element-independent index choice :129-139, beta-binomial option :117-119,
+uniform-support mixing `proba_uniform` :112-114), `CntxtTrgtGetter`
+(:148-255), grid maskers `RandomMasker` (:259), `half_masker` (:319),
+`no_masker` (:329), and `GridCntxtTrgtSplitter` (:336-452: grid mask ->
+normalized [-1,1] coords, `upscale_factor` for zero-shot extrapolation :447).
+
+TPU-first redesign: instead of gathering variable-size subsets (ragged), the
+splitter emits BOOLEAN MASKS over the fixed point set — context = (X, Y,
+mask_cntxt), target = (X, Y, mask_trgt). Shapes are static under jit; the
+whole splitter is jittable and runs on device as part of the input pipeline.
+Like the reference, the *count* of context points is shared across a batch
+(one randint per batch) while the *positions* are independent per element.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.helpers import ratio_to_int
+
+__all__ = [
+    "get_all_indcs",
+    "get_range_indcs",
+    "GetRandomIndcs",
+    "CntxtTrgtSplitter",
+    "RandomMasker",
+    "half_masker",
+    "no_masker",
+    "GridCntxtTrgtSplitter",
+]
+
+
+# ------------------------------------------------------------ mask samplers
+# a "mask sampler" has signature (key, batch_size, n_points) -> bool [B, N]
+
+
+def get_all_indcs(key, batch_size, n_points):
+    """All points selected (ref datasplit.py:30-34)."""
+    return jnp.ones((batch_size, n_points), dtype=bool)
+
+
+def get_range_indcs(arange: Tuple[int, int]):
+    """All indices in [lo, hi) (ref datasplit.py:37-45)."""
+
+    def sampler(key, batch_size, n_points):
+        idx = jnp.arange(n_points)
+        mask = (idx >= arange[0]) & (idx < arange[1])
+        return jnp.broadcast_to(mask[None], (batch_size, n_points))
+
+    return sampler
+
+
+@dataclass(frozen=True)
+class GetRandomIndcs:
+    """Random subset mask: count n ~ U{a..b} (or beta-binomial), positions
+    independent per batch element (ref datasplit.py:60-145)."""
+
+    a: float = 0.1
+    b: float = 0.5
+    is_batch_share: bool = False
+    is_ensure_one: bool = False
+    is_beta_binomial: bool = False
+    proba_uniform: float = 0.0
+
+    def __call__(self, key, batch_size, n_points):
+        k_n, k_u, k_choice, k_perm = jax.random.split(key, 4)
+
+        if self.is_beta_binomial:
+            # compound beta-binomial: p ~ Beta(a, b); n ~ Binomial(N, p)
+            kp, kb = jax.random.split(k_n)
+            p = jax.random.beta(kp, self.a, self.b)
+            n_indcs = jnp.sum(
+                jax.random.uniform(kb, (n_points,)) < p
+            )
+        else:
+            a = ratio_to_int(self.a, n_points)
+            b = ratio_to_int(self.b, n_points)
+            n_indcs = jax.random.randint(k_n, (), a, b + 1)
+
+        # with prob proba_uniform, resample count uniformly over all sizes
+        if self.proba_uniform > 0:
+            ku1, ku2 = jax.random.split(k_u)
+            n_uni = jax.random.randint(ku1, (), 0, n_points + 1)
+            use_uni = jax.random.uniform(ku2, ()) < self.proba_uniform
+            n_indcs = jnp.where(use_uni, n_uni, n_indcs)
+
+        if self.is_ensure_one:
+            n_indcs = jnp.maximum(n_indcs, 1)
+
+        # independent positions per element: rank of random scores < n
+        shape = (1, n_points) if self.is_batch_share else (batch_size, n_points)
+        scores = jax.random.uniform(k_perm, shape)
+        ranks = jnp.argsort(jnp.argsort(scores, axis=-1), axis=-1)
+        mask = ranks < n_indcs
+        if self.is_batch_share:
+            mask = jnp.broadcast_to(mask, (batch_size, n_points))
+        return mask
+
+
+@dataclass(frozen=True)
+class CntxtTrgtSplitter:
+    """Split a batch of functions into masked context/target sets
+    (ref CntxtTrgtGetter, datasplit.py:148-255).
+
+    Returns dict(X_cntxt, Y_cntxt, mask_cntxt, X_trgt, Y_trgt, mask_trgt):
+    X/Y are shared full arrays, masks carry the split. `is_add_cntxts_to_trgts`
+    unions the context mask into the target mask.
+    """
+
+    contexts_getter: Callable = GetRandomIndcs()
+    targets_getter: Callable = get_all_indcs
+    is_add_cntxts_to_trgts: bool = False
+
+    def __call__(self, key, x, y):
+        B, N = x.shape[0], x.shape[1]
+        kc, kt = jax.random.split(key)
+        mask_cntxt = self.contexts_getter(kc, B, N)
+        mask_trgt = self.targets_getter(kt, B, N)
+        if self.is_add_cntxts_to_trgts:
+            mask_trgt = mask_trgt | mask_cntxt
+        return dict(
+            X_cntxt=x,
+            Y_cntxt=y,
+            mask_cntxt=mask_cntxt,
+            X_trgt=x,
+            Y_trgt=y,
+            mask_trgt=mask_trgt,
+        )
+
+
+# ------------------------------------------------------------ grid maskers
+# a "grid masker" has signature (key, batch_size, grid_shape) -> bool [B, *grid]
+
+
+@dataclass(frozen=True)
+class RandomMasker:
+    """Random boolean grid mask with n ~ U{a..b} selected pixels
+    (ref datasplit.py:259-298)."""
+
+    a: float = 0.1
+    b: float = 0.5
+    is_batch_share: bool = False
+
+    def __call__(self, key, batch_size, grid_shape):
+        n_pix = 1
+        for s in grid_shape:
+            n_pix *= s
+        flat = GetRandomIndcs(a=self.a, b=self.b, is_batch_share=self.is_batch_share)(
+            key, batch_size, n_pix
+        )
+        return flat.reshape((batch_size,) + tuple(grid_shape))
+
+
+def no_masker(key, batch_size, grid_shape):
+    """Everything selected (ref datasplit.py:329-333)."""
+    return jnp.ones((batch_size,) + tuple(grid_shape), dtype=bool)
+
+
+def half_masker(key, batch_size, grid_shape, dim=0):
+    """Mask the first half along `dim` (ref datasplit.py:319-326)."""
+    mask = jnp.zeros(grid_shape, dtype=bool)
+    idx = [slice(None)] * len(grid_shape)
+    idx[dim] = slice(0, grid_shape[dim] // 2)
+    mask = mask.at[tuple(idx)].set(True)
+    return jnp.broadcast_to(mask[None], (batch_size,) + tuple(grid_shape))
+
+
+@dataclass(frozen=True)
+class GridCntxtTrgtSplitter:
+    """Grid version: produce context/target grid masks, and (for off-grid
+    models) the corresponding normalized coordinates in [-1,1]
+    (ref GridCntxtTrgtGetter, datasplit.py:336-452).
+
+    For Grid* models use the masks directly; for point-set models call
+    `grid_to_points` to convert an image + mask into padded point sets.
+    """
+
+    context_masker: Callable = RandomMasker()
+    target_masker: Callable = no_masker
+    upscale_factor: float = 1.0
+
+    def __call__(self, key, y_grid):
+        """y_grid [B, *grid, y_dim] -> dict with grid masks + coords."""
+        B = y_grid.shape[0]
+        grid_shape = y_grid.shape[1:-1]
+        kc, kt = jax.random.split(key)
+        mask_cntxt = self.context_masker(kc, B, grid_shape)
+        mask_trgt = self.target_masker(kt, B, grid_shape)
+        return dict(
+            X_cntxt=mask_cntxt[..., None],  # grid-model convention: X = mask
+            Y_cntxt=y_grid,
+            mask_cntxt=mask_cntxt,
+            X_trgt=mask_trgt[..., None],
+            Y_trgt=y_grid,
+            mask_trgt=mask_trgt,
+        )
+
+    def coords(self, grid_shape) -> jax.Array:
+        """Normalized [-1,1] coordinates of every grid position
+        (ref datasplit.py:437-452), divided by upscale_factor for zero-shot
+        extrapolation (:447)."""
+        axes = [
+            jnp.linspace(-1.0, 1.0, s) / self.upscale_factor for s in grid_shape
+        ]
+        mesh = jnp.stack(jnp.meshgrid(*axes, indexing="ij"), axis=-1)
+        return mesh.reshape(-1, len(grid_shape))  # [prod(grid), ndim]
+
+
+def grid_to_points(y_grid, mask, n_max: int, upscale_factor: float = 1.0):
+    """Convert (image, boolean mask) into a padded point set of at most n_max
+    points with coordinates in [-1,1] (ref visualize_imgs points_to_grid /
+    GridCntxtTrgtGetter). Deterministic: selects masked-in pixels in raster
+    order. Returns (x [B, n_max, ndim], y [B, n_max, y_dim], mask [B, n_max])."""
+    B = y_grid.shape[0]
+    grid_shape = y_grid.shape[1:-1]
+    y_dim = y_grid.shape[-1]
+    ndim = len(grid_shape)
+    n_pix = 1
+    for s in grid_shape:
+        n_pix *= s
+
+    axes = [jnp.linspace(-1.0, 1.0, s) / upscale_factor for s in grid_shape]
+    coords = jnp.stack(jnp.meshgrid(*axes, indexing="ij"), axis=-1).reshape(
+        n_pix, ndim
+    )
+
+    flat_mask = mask.reshape(B, n_pix)
+    flat_y = y_grid.reshape(B, n_pix, y_dim)
+
+    # stable order: masked-in pixels first
+    order = jnp.argsort(~flat_mask, axis=-1, stable=True)[:, :n_max]  # [B, n_max]
+    x = coords[order]  # [B, n_max, ndim]
+    y = jnp.take_along_axis(flat_y, order[..., None], axis=1)
+    m = jnp.take_along_axis(flat_mask, order, axis=1)
+    return x, y, m

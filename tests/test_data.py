@@ -1,0 +1,138 @@
+"""Data-layer tests: GP sampler statistics, splitter semantics, GW generator
+physics sanity (chirp structure, merger placement, mismatch metric)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from npf_gwwaveform_tpu.data import (
+    CntxtTrgtSplitter,
+    GetRandomIndcs,
+    GPSampler,
+    GWParameterSpace,
+    GWWaveformDataset,
+    GWWaveformGenerator,
+    RandomMasker,
+    get_all_indcs,
+    mismatch,
+)
+
+
+def test_gp_sampler_statistics(key):
+    """Marginals of a GP draw must match the kernel: unit-ish variance and
+    strong short-range correlation for RBF l=0.2."""
+    s = GPSampler(kernel="rbf", length_scale=0.2, n_points=64)
+    x, y = s.sample(key, 256)
+    assert x.shape == (256, 64, 1) and y.shape == (256, 64, 1)
+    x_np = np.asarray(x)
+    assert x_np.min() >= -1.0 - 1e-6 and x_np.max() <= 1.0 + 1e-6
+    assert np.all(np.diff(x_np[:, :, 0], axis=1) >= 0)  # sorted features
+    var = np.var(np.asarray(y))
+    assert 0.8 < var < 1.25  # K(0)=1 + alpha jitter
+
+
+def test_gp_kernels_all_run(key):
+    for kern in ["rbf", "periodic", "matern", "noisy_matern", "variable_matern"]:
+        s = GPSampler(kernel=kern, n_points=32)
+        x, y = s.sample(key, 8)
+        assert np.isfinite(np.asarray(y)).all(), kern
+
+
+def test_gp_extrapolation_range(key):
+    """test_min_max beyond the train range must give |x| > 1 coords."""
+    s = GPSampler(kernel="rbf", length_scale=0.2, n_points=32, min_max=(-2, 2))
+    x, _ = s.sample(key, 4, min_max=(-4.0, 4.0))
+    assert np.asarray(x).max() > 1.5
+
+
+def test_random_indcs_count_distribution(key):
+    """Count must be shared across the batch; positions independent
+    (ref datasplit.py:129-139)."""
+    g = GetRandomIndcs(a=0, b=50)
+    mask = g(key, 16, 128)
+    counts = np.asarray(mask.sum(-1))
+    assert (counts == counts[0]).all()
+    assert 0 <= counts[0] <= 50
+    # positions differ across elements (overwhelmingly likely)
+    if counts[0] > 5:
+        assert not np.array_equal(np.asarray(mask[0]), np.asarray(mask[1]))
+
+
+def test_splitter_shapes(key):
+    s = GPSampler(kernel="rbf", n_points=64)
+    x, y = s.sample(key, 8)
+    splitter = CntxtTrgtSplitter(
+        contexts_getter=GetRandomIndcs(a=0.1, b=0.5), targets_getter=get_all_indcs
+    )
+    batch = splitter(key, x, y)
+    assert batch["mask_cntxt"].shape == (8, 64)
+    assert bool(batch["mask_trgt"].all())
+    assert batch["X_cntxt"].shape == (8, 64, 1)
+
+
+def test_grid_masker(key):
+    m = RandomMasker(a=0.1, b=0.3)(key, 4, (8, 8))
+    assert m.shape == (4, 8, 8)
+    counts = np.asarray(m.reshape(4, -1).sum(-1))
+    assert ((counts >= 6) & (counts <= 20)).all()
+
+
+# ------------------------------------------------------------------- GW
+
+
+@pytest.fixture(scope="module")
+def gen():
+    return GWWaveformGenerator(duration=1.0, sample_rate=1024.0)
+
+
+def test_gw_time_domain_structure(gen):
+    theta = jnp.array([[30.0, 25.0, 0.0, 0.0], [60.0, 40.0, 0.4, -0.2]])
+    _, h = gen.time_domain(theta)
+    hn = np.asarray(h)
+    assert np.isfinite(hn).all()
+    n = hn.shape[-1]
+    peak = np.abs(hn).argmax(-1) / n
+    # merger placed at ~t_merge_frac of the window
+    assert np.all(np.abs(peak - gen.t_merge_frac) < 0.05)
+    # chirp: zero-crossing spacing decreases towards merger
+    h0 = hn[0][: int(0.8 * n)]
+    zc = np.where(np.diff(np.sign(h0)))[0]
+    gaps = np.diff(zc)
+    assert gaps[:3].mean() > gaps[-3:].mean()
+
+
+def test_gw_frequency_domain(gen):
+    theta = GWParameterSpace().sample(jax.random.PRNGKey(0), 4)
+    fd = gen.frequency_domain(theta, n_f=128)
+    amp, psi = np.asarray(fd.amplitude), np.asarray(fd.phase)
+    assert np.isfinite(amp).all() and np.isfinite(psi).all()
+    assert np.allclose(amp.max(-1), 1.0)  # peak-normalized
+    # mass ordering: heavier system rings down at lower frequency => its
+    # amplitude support ends earlier in the band
+    heavy = gen.frequency_domain(jnp.array([[75.0, 70.0, 0.0, 0.0]]), n_f=128)
+    light = gen.frequency_domain(jnp.array([[12.0, 10.0, 0.0, 0.0]]), n_f=128)
+    f = np.asarray(heavy.freqs)
+    f_support_heavy = f[np.asarray(heavy.amplitude[0]) > 1e-3].max()
+    f_support_light = f[np.asarray(light.amplitude[0]) > 1e-3].max()
+    assert f_support_heavy < f_support_light
+
+
+def test_gw_mismatch_metric(gen):
+    theta = jnp.array([[30.0, 25.0, 0.0, 0.0], [31.0, 25.0, 0.0, 0.0], [70.0, 60.0, 0.5, 0.5]])
+    _, h = gen.time_domain(theta)
+    assert float(mismatch(h[0], h[0])) < 1e-5
+    close = float(mismatch(h[0], h[1]))
+    far = float(mismatch(h[0], h[2]))
+    assert close < far  # nearby parameters -> smaller mismatch
+
+
+def test_gw_dataset_modes(gen):
+    for mode, y_dim in [("time", 1), ("freq_ap", 2)]:
+        ds = GWWaveformDataset(gen, mode=mode, n_points=64, n_samples=32)
+        x, y = next(ds.epoch_batches(8))
+        assert x.shape == (8, 64, 1) and y.shape == (8, 64, y_dim)
+        assert np.isfinite(np.asarray(y)).all()
+        x3, y3, params = ds.get_samples(4)
+        assert params.shape == (4, 4)
+        assert np.abs(np.asarray(params)).max() <= 1.0 + 1e-6
