@@ -82,8 +82,15 @@ class GetRandomIndcs:
                 jax.random.uniform(kb, (n_points,)) < p
             )
         else:
-            a = ratio_to_int(self.a, n_points)
-            b = ratio_to_int(self.b, n_points)
+            # ratio-or-absolute, clamped to the available points so a
+            # splitter configured for long functions (e.g. b=50) still
+            # works on shorter ones
+            def to_count(v):
+                c = int(v * n_points) if 0 <= v < 1 else int(v)
+                return max(0, min(c, n_points))
+
+            a, b = to_count(self.a), to_count(self.b)
+            a = min(a, b)
             n_indcs = jax.random.randint(k_n, (), a, b + 1)
 
         # with prob proba_uniform, resample count uniformly over all sizes

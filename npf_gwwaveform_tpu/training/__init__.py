@@ -1,0 +1,15 @@
+from .optim import exponential_decay_gamma, make_optimizer
+from .state import TrainState, create_train_state
+from .trainer import Trainer
+from .evaluate import eval_loglike
+from .train import train_models
+
+__all__ = [
+    "make_optimizer",
+    "exponential_decay_gamma",
+    "TrainState",
+    "create_train_state",
+    "Trainer",
+    "eval_loglike",
+    "train_models",
+]

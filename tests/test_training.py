@@ -1,0 +1,145 @@
+"""End-to-end training slice + multi-device data-parallel tests.
+
+This substitutes for the reference's reproducibility-notebook integration
+tests (SURVEY.md §4): train CNP on a small GP task and require the loss to
+drop; run the same compiled step over an 8-device CPU mesh and require
+numerically identical-per-element results shapes + finite metrics.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from npf_gwwaveform_tpu import CNP, LNP, ConvCNP
+from npf_gwwaveform_tpu.data import (
+    CntxtTrgtSplitter,
+    GetRandomIndcs,
+    GPDataset,
+    GPSampler,
+    GWWaveformDataset,
+    GWWaveformGenerator,
+    get_all_indcs,
+)
+from npf_gwwaveform_tpu.losses import CNPFLoss, NLLLossLNPF
+from npf_gwwaveform_tpu.parallel import make_mesh
+from npf_gwwaveform_tpu.training import (
+    Trainer,
+    create_train_state,
+    eval_loglike,
+    make_optimizer,
+    train_models,
+)
+
+
+def _gp_data(n=128, n_points=32):
+    sampler = GPSampler(kernel="rbf", length_scale=0.2, n_points=n_points)
+    return GPDataset(sampler, n, is_reuse_across_epochs=True, seed=0)
+
+
+def _splitter():
+    return CntxtTrgtSplitter(
+        contexts_getter=GetRandomIndcs(a=3, b=12), targets_getter=get_all_indcs
+    )
+
+
+def test_cnp_trains_on_gp():
+    ds = _gp_data()
+    model = CNP(y_dim=1, x_dim=1, r_dim=32)
+    tx = make_optimizer(lr=1e-3, decay_lr=None)
+    trainer = Trainer(model, CNPFLoss(), tx, splitter=_splitter())
+
+    x, y = next(ds.epoch_batches(16))
+    batch = _splitter()(jax.random.PRNGKey(0), x, y)
+    state = create_train_state(model, tx, batch, seed=0)
+
+    first, last = None, None
+    for epoch in range(30):
+        for x, y in ds.epoch_batches(16):
+            state, m = trainer.train_step(state, x, y)
+            if first is None:
+                first = float(m["loss"])
+    last = float(m["loss"])
+    assert np.isfinite(last)
+    assert last < first - 1.0, (first, last)
+
+
+def test_lnp_npml_trains():
+    ds = _gp_data(n=64)
+    model = LNP(y_dim=1, x_dim=1, r_dim=32, n_z_samples_train=4, n_z_samples_test=4)
+    tx = make_optimizer(lr=1e-3, decay_lr=None)
+    trainer = Trainer(model, NLLLossLNPF(), tx, splitter=_splitter())
+    x, y = next(ds.epoch_batches(16))
+    batch = _splitter()(jax.random.PRNGKey(0), x, y)
+    state = create_train_state(model, tx, batch, seed=0)
+    for _ in range(10):
+        for x, y in ds.epoch_batches(16):
+            state, m = trainer.train_step(state, x, y)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_data_parallel_mesh_training():
+    """Same train step compiled over an 8-device mesh: batch sharded on the
+    data axis, params replicated, gradients psum'd by XLA."""
+    assert jax.device_count() >= 8
+    mesh = make_mesh(axes={"data": 8})
+    ds = _gp_data(n=64)
+    model = CNP(y_dim=1, x_dim=1, r_dim=32)
+    tx = make_optimizer(lr=1e-3, decay_lr=None)
+    trainer = Trainer(model, CNPFLoss(), tx, splitter=_splitter(), mesh=mesh)
+    x, y = next(ds.epoch_batches(16))
+    batch = _splitter()(jax.random.PRNGKey(0), x, y)
+    state = create_train_state(model, tx, batch, seed=0)
+    for _ in range(3):
+        for x, y in ds.epoch_batches(16):
+            state, m = trainer.train_step(state, x, y)
+    assert np.isfinite(float(m["loss"]))
+    # eval path over the mesh
+    k = jax.random.PRNGKey(1)
+    per_fn = trainer.eval_step(state, x, y, k)
+    assert per_fn.shape == (16,)
+
+
+def test_train_models_harness(tmp_path):
+    """The full train_models loop: artifacts (history.json, eval.csv,
+    model_summary.txt, checkpoints) in the reference's run-dir layout."""
+    ds = _gp_data(n=64)
+    test_ds = _gp_data(n=32)
+    out = train_models(
+        datasets={"RBF_tiny": ds},
+        models={"CNP": CNP(y_dim=1, x_dim=1, r_dim=32)},
+        criterion=CNPFLoss(),
+        test_datasets={"RBF_tiny": test_ds},
+        valid_datasets={"RBF_tiny": _gp_data(n=32)},
+        splitter=_splitter(),
+        chckpnt_dirname=str(tmp_path),
+        max_epochs=2,
+        batch_size=16,
+        verbose=0,
+    )
+    run_dir = tmp_path / "RBF_tiny" / "CNP" / "run_0"
+    assert (run_dir / "history.json").exists()
+    assert (run_dir / "eval.csv").exists()
+    assert (run_dir / "model_summary.txt").exists()
+    assert (run_dir / "state.msgpack").exists()
+    lls = np.loadtxt(run_dir / "eval.csv", delimiter=",")
+    assert lls.shape == (32,)
+    assert "RBF_tiny/CNP/run_0" in out
+
+
+def test_gw_cnp_end_to_end():
+    """BASELINE.json config 1: CNP regressing h+(t) — a few steps must run
+    and produce finite loss."""
+    gen = GWWaveformGenerator(duration=1.0, sample_rate=512.0)
+    ds = GWWaveformDataset(gen, mode="time", n_points=64, n_samples=64)
+    model = CNP(y_dim=1, x_dim=1, r_dim=32)
+    tx = make_optimizer(lr=1e-3, decay_lr=None)
+    trainer = Trainer(model, CNPFLoss(), tx, splitter=_splitter())
+    x, y = next(ds.epoch_batches(16))
+    batch = _splitter()(jax.random.PRNGKey(0), x, y)
+    state = create_train_state(model, tx, batch, seed=0)
+    for x, y in ds.epoch_batches(16):
+        state, m = trainer.train_step(state, x, y)
+    assert np.isfinite(float(m["loss"]))
