@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils import init as winit
+from ..utils.helpers import masked_softmax
 from .mlp import MLP
 
 
@@ -77,11 +78,16 @@ class ExpRBF(nn.Module):
         dist = _pairwise_dist(keys_x, queries_x, self.p)  # [B,Q,K]
         inp = -((dist / sigma) ** self.p)
 
-        mask = mask_keys[:, None, :].astype(inp.dtype)  # [B,1,K]
-        exp = jnp.exp(inp) * mask
-        density = jnp.sum(exp, axis=-1, keepdims=True)  # [B,Q,1]
-        # softmax over keys restricted to the mask (stable: exp already >= 0)
-        weight = exp / jnp.maximum(density, 1e-30)
+        mask = mask_keys[:, None, :].astype(bool)  # [B,1,K]
+        # density: RAW exp sum (underflows to 0 far from context — that is
+        # the semantic: no density there), reference setcnn.py:140-141
+        density = jnp.sum(
+            jnp.exp(inp) * mask.astype(inp.dtype), axis=-1, keepdims=True
+        )
+        # weights: max-subtracted softmax over keys, so even a far query
+        # puts ~unit weight on its NEAREST context point (the reference's
+        # "numerically stable normalization", setcnn.py:135-137)
+        weight = masked_softmax(inp, mask, axis=-1)
         return weight, density
 
 

@@ -1,0 +1,107 @@
+"""Torch→JAX weight porting for parity testing and for loading the
+reference's pretrained checkpoints (results/**/params.pt).
+
+Maps the reference's torch module trees (npf/neuralproc/*) onto this
+package's flax param trees. Layout conventions:
+  torch Linear weight [out, in]  -> flax Dense kernel [in, out] (transpose)
+  torch Conv1d weight [out, in/groups, k] -> flax Conv kernel [k, in/groups, out]
+  torch Conv2d weight [out, in/groups, kh, kw] -> [kh, kw, in/groups, out]
+
+Only used on host (torch stays out of the jit path).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "port_linear",
+    "port_mlp",
+    "port_merge_flat",
+    "port_cnp",
+    "port_attncnp",
+    "port_convcnp",
+]
+
+
+def _t2j(t) -> jnp.ndarray:
+    return jnp.asarray(t.detach().cpu().numpy())
+
+
+def port_linear(lin) -> Dict:
+    out = {"kernel": _t2j(lin.weight).T}
+    if lin.bias is not None:
+        out["bias"] = _t2j(lin.bias)
+    return out
+
+
+def port_mlp(mlp) -> Dict:
+    d = {
+        "to_hidden": port_linear(mlp.to_hidden),
+        "out": port_linear(mlp.out),
+    }
+    for i, lin in enumerate(mlp.linears):
+        d[f"linear_{i}"] = port_linear(lin)
+    return d
+
+
+def port_merge_flat(mfi, inner_name: str = "MLP_0") -> Dict:
+    """Reference MergeFlatInputs (encoders.py:130-183), sum-merge variant."""
+    return {
+        "resizer": port_mlp(mfi.resizer),
+        inner_name: port_mlp(mfi.flat_module),
+    }
+
+
+def port_conv1d(conv) -> Dict:
+    out = {"kernel": _t2j(conv.weight).transpose(2, 1, 0)}
+    if conv.bias is not None:
+        out["bias"] = _t2j(conv.bias)
+    return out
+
+
+def port_setconv(sc) -> Dict:
+    """Reference SetConv (setcnn.py:194-268) -> this SetConv."""
+    return {
+        "rbf": {"length_scale_param": _t2j(sc.radial_basis_func.length_scale_param)},
+        "resizer": port_linear(sc.resizer),
+    }
+
+
+def port_res_conv_block(block) -> Dict:
+    """Reference ResConvBlock (cnn.py:126-215), n_conv_layers=1."""
+    return {
+        "conv2_depthwise": port_conv1d(block.conv2_depthwise),
+        "conv2_pointwise": port_conv1d(block.conv2_pointwise),
+    }
+
+
+def port_cnn(cnn) -> Dict:
+    return {
+        f"block_{i}": port_res_conv_block(b) for i, b in enumerate(cnn.conv_blocks)
+    }
+
+
+def port_cnp(torch_model) -> Dict:
+    return {
+        "x_encoder": port_mlp(torch_model.x_encoder),
+        "xy_encoder": port_merge_flat(torch_model.xy_encoder),
+        "decoder": port_merge_flat(torch_model.decoder),
+    }
+
+
+def port_attncnp(torch_model) -> Dict:
+    """AttnCNP with the default scaledot attender (no attender params)."""
+    return port_cnp(torch_model)
+
+
+def port_convcnp(torch_model) -> Dict:
+    return {
+        "cntxt_to_induced": port_setconv(torch_model.cntxt_to_induced),
+        "induced_to_induced": port_cnn(torch_model.induced_to_induced),
+        "induced_to_trgt": port_setconv(torch_model.induced_to_trgt),
+        "decoder": {"MLP_0": port_mlp(torch_model.decoder.destination)},
+    }

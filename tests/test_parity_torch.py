@@ -1,0 +1,141 @@
+"""Golden-value parity vs the PyTorch reference: port torch weights into the
+flax models and require the predictive distributions to match to numerical
+tolerance on identical inputs (the BASELINE.json parity requirement).
+
+The reference package is imported from /root/reference (torch-cpu only, no
+skorch needed for model forward passes).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+sys.path.insert(0, "/root/reference")
+
+import jax
+import jax.numpy as jnp
+
+npf_torch = pytest.importorskip("npf")
+
+from npf_gwwaveform_tpu import AttnCNP, CNP, ConvCNP
+from npf_gwwaveform_tpu.utils.port import port_attncnp, port_cnp, port_convcnp
+
+B, NC, NT, R = 3, 9, 14, 32
+ATOL = 2e-4
+
+
+def _inputs(seed=0, nc=NC):
+    rng = np.random.default_rng(seed)
+    x_c = rng.uniform(-1, 1, (B, nc, 1)).astype(np.float32)
+    y_c = rng.normal(size=(B, nc, 1)).astype(np.float32)
+    x_t = rng.uniform(-1, 1, (B, NT, 1)).astype(np.float32)
+    return x_c, y_c, x_t
+
+
+def _torch_forward(tm, x_c, y_c, x_t):
+    tm.eval()
+    with torch.no_grad():
+        p, *_ = tm(
+            torch.from_numpy(x_c), torch.from_numpy(y_c), torch.from_numpy(x_t)
+        )
+    return p.base_dist.loc.numpy(), p.base_dist.scale.numpy()
+
+
+def _jax_forward(model, params, x_c, y_c, x_t, mask_cntxt=None):
+    out = model.apply(
+        {"params": params},
+        jnp.asarray(x_c),
+        jnp.asarray(y_c),
+        jnp.asarray(x_t),
+        mask_cntxt=mask_cntxt,
+        train=False,
+        rngs={"latent": jax.random.PRNGKey(0)},
+    )
+    return np.asarray(out.p_yCc.loc), np.asarray(out.p_yCc.scale)
+
+
+def test_cnp_parity():
+    torch.manual_seed(0)
+    tm = npf_torch.CNP(x_dim=1, y_dim=1, r_dim=R)
+    params = port_cnp(tm)
+    model = CNP(y_dim=1, x_dim=1, r_dim=R)
+
+    x_c, y_c, x_t = _inputs()
+    t_loc, t_scale = _torch_forward(tm, x_c, y_c, x_t)
+    j_loc, j_scale = _jax_forward(model, params, x_c, y_c, x_t)
+
+    np.testing.assert_allclose(j_loc[0], t_loc[0], atol=ATOL, rtol=1e-4)
+    np.testing.assert_allclose(j_scale[0], t_scale[0], atol=ATOL, rtol=1e-4)
+
+
+def test_cnp_parity_masked_equals_torch_ragged():
+    """Padded+masked context in JAX == gathered subset in torch: the mask
+    machinery must reproduce ragged semantics exactly."""
+    torch.manual_seed(0)
+    tm = npf_torch.CNP(x_dim=1, y_dim=1, r_dim=R)
+    params = port_cnp(tm)
+    model = CNP(y_dim=1, x_dim=1, r_dim=R)
+
+    x_c, y_c, x_t = _inputs()
+    n_real = 5
+    # torch sees only the first n_real context points
+    t_loc, t_scale = _torch_forward(tm, x_c[:, :n_real], y_c[:, :n_real], x_t)
+    # jax sees all NC with a mask selecting the first n_real
+    mask = jnp.arange(NC)[None, :] < n_real
+    mask = jnp.broadcast_to(mask, (B, NC))
+    j_loc, j_scale = _jax_forward(model, params, x_c, y_c, x_t, mask_cntxt=mask)
+
+    np.testing.assert_allclose(j_loc[0], t_loc[0], atol=ATOL, rtol=1e-4)
+    np.testing.assert_allclose(j_scale[0], t_scale[0], atol=ATOL, rtol=1e-4)
+
+
+def test_attncnp_parity():
+    torch.manual_seed(1)
+    tm = npf_torch.AttnCNP(x_dim=1, y_dim=1, r_dim=R, attention="scaledot")
+    params = port_attncnp(tm)
+    model = AttnCNP(y_dim=1, x_dim=1, r_dim=R, attention="scaledot")
+
+    x_c, y_c, x_t = _inputs(seed=1)
+    t_loc, t_scale = _torch_forward(tm, x_c, y_c, x_t)
+    j_loc, j_scale = _jax_forward(model, params, x_c, y_c, x_t)
+
+    np.testing.assert_allclose(j_loc[0], t_loc[0], atol=ATOL, rtol=1e-4)
+    np.testing.assert_allclose(j_scale[0], t_scale[0], atol=ATOL, rtol=1e-4)
+
+
+def test_convcnp_parity():
+    import torch.nn as nn
+    from functools import partial
+    from npf.architectures import CNN as TorchCNN, ResConvBlock as TorchRes
+
+    torch.manual_seed(2)
+    density = 8
+    tm = npf_torch.ConvCNP(
+        x_dim=1,
+        y_dim=1,
+        r_dim=R,
+        density_induced=density,
+        CNN=partial(
+            TorchCNN,
+            ConvBlock=TorchRes,
+            Conv=nn.Conv1d,
+            n_blocks=2,
+            Normalization=nn.Identity,
+            is_chan_last=True,
+            kernel_size=5,
+        ),
+    )
+    params = port_convcnp(tm)
+    model = ConvCNP(
+        y_dim=1, x_dim=1, r_dim=R, density_induced=density, cnn_n_blocks=2,
+        cnn_kernel_size=5,
+    )
+
+    x_c, y_c, x_t = _inputs(seed=2)
+    t_loc, t_scale = _torch_forward(tm, x_c, y_c, x_t)
+    j_loc, j_scale = _jax_forward(model, params, x_c, y_c, x_t)
+
+    np.testing.assert_allclose(j_loc[0], t_loc[0], atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(j_scale[0], t_scale[0], atol=5e-4, rtol=1e-3)
