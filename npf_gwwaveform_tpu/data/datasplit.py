@@ -195,8 +195,11 @@ class GridCntxtTrgtSplitter:
     target_masker: Callable = no_masker
     upscale_factor: float = 1.0
 
-    def __call__(self, key, y_grid):
-        """y_grid [B, *grid, y_dim] -> dict with grid masks + coords."""
+    def __call__(self, key, y_grid, y=None):
+        """y_grid [B, *grid, y_dim] -> dict with grid masks + coords.
+        Accepts (key, x, y) like CntxtTrgtSplitter; x is the image there."""
+        if y is not None:
+            y_grid = y
         B = y_grid.shape[0]
         grid_shape = y_grid.shape[1:-1]
         kc, kt = jax.random.split(key)

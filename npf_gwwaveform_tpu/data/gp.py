@@ -100,7 +100,7 @@ class GPSampler:
             k = matern15_cov(x, length_scale) + white_cov(x, self.noise_level)
         else:
             raise ValueError(f"Unknown kernel {self.kernel}")
-        return k + self.alpha * jnp.eye(self.n_points)
+        return k + self.alpha * jnp.eye(x.shape[0])
 
     @property
     def is_vary_kernel_hyp(self) -> bool:
@@ -123,6 +123,36 @@ class GPSampler:
         chol = jnp.linalg.cholesky(cov)
         y = chol @ jax.random.normal(ky, (self.n_points, 1))
         return x, y
+
+    def posterior(self, x_cntxt, y_cntxt, x_test, length_scale=None):
+        """Analytic GP posterior (mean, std) at x_test given context — the
+        'oracle' overlay of the reference's 1-D plots (visualize_1d.py:205-223,
+        which refits sklearn; here the kernel is known in closed form).
+
+        All x in the model's [-1,1] coordinates; converted back to the
+        kernel's native min_max units internally. Shapes: x_cntxt [n,1],
+        y_cntxt [n,1], x_test [m,1] -> (mean [m], std [m]).
+        """
+        ls = jnp.asarray(
+            self.length_scale if length_scale is None else length_scale
+        )
+        lo, hi = self.min_max
+        to_native = lambda x: (x + 1.0) * 0.5 * (hi - lo) + lo
+        xc, xt = to_native(x_cntxt), to_native(x_test)
+        k_cc = self._cov(xc, ls)
+        # cross/test covs without jitter
+        jitter = self.alpha * jnp.eye(xc.shape[0])
+        k_cc_noj = k_cc  # _cov already adds alpha; keep for solve stability
+        both = jnp.concatenate([xc, xt], axis=0)
+        k_all = self._cov(both, ls)
+        n = xc.shape[0]
+        k_ct = k_all[:n, n:]
+        k_tt = k_all[n:, n:]
+        sol = jnp.linalg.solve(k_cc_noj, jnp.concatenate([y_cntxt, k_ct], axis=1))
+        mean = k_ct.T @ sol[:, :1]
+        cov = k_tt - k_ct.T @ sol[:, 1:]
+        std = jnp.sqrt(jnp.clip(jnp.diag(cov), 1e-10))
+        return mean[:, 0], std
 
     @partial(jax.jit, static_argnames=("self", "n_samples", "min_max"))
     def sample(

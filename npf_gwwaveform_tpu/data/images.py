@@ -1,0 +1,199 @@
+"""Image datasets for the Grid* model families.
+
+Parity target: /root/reference/utils/data/imgs.py — the dataset registry
+(`DATASETS_DICT` :26-39, `get_train_test_img_dataset` :45-55), MNIST/SVHN
+wrappers (:83-190), the generated `ZeroShotMultiMNIST` zero-shot-extrapolation
+sets (train = padded single digits, test = two translated digits, :191-394),
+`SingleImage` (:485) and CelebA (:509-617).
+
+This environment has no network egress and no torchvision, so:
+* `digits*` datasets are built from sklearn's bundled 8x8 digits
+  (`sklearn.datasets.load_digits` — ships offline) upscaled to the requested
+  resolution; they play the role MNIST plays in the reference;
+* `zs_multi_digits` reproduces the ZeroShotMultiMNIST construction (train:
+  one centred digit on a padded canvas; test: TWO independently translated
+  digits on a wider canvas) from the same sklearn digits;
+* `mnist` / `celeba32` load from local npz/folder paths when present and
+  raise a clear error otherwise (registry entries kept for API parity).
+
+All datasets yield float32 grids in [0, 1], channel-last [B, H, W, C], as
+device arrays, with `epoch_batches` mirroring the GPDataset API.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "GridImageDataset",
+    "DigitsDataset",
+    "ZeroShotMultiDigits",
+    "SingleImage",
+    "DATASETS_DICT",
+    "get_train_test_img_dataset",
+]
+
+
+class GridImageDataset:
+    """Base: a fixed array of images [N, H, W, C] in [0,1]."""
+
+    def __init__(self, images: np.ndarray, seed: int = 0):
+        assert images.ndim == 4
+        self.images = jnp.asarray(images, jnp.float32)
+        self.n_samples = images.shape[0]
+        self._key = jax.random.PRNGKey(seed)
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return tuple(self.images.shape[1:])
+
+    def __len__(self):
+        return self.n_samples
+
+    def next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def epoch_batches(self, batch_size: int, shuffle: bool = True, key=None):
+        n = self.n_samples
+        k = self.next_key() if key is None else key
+        order = (
+            jax.random.permutation(k, n) if shuffle else jnp.arange(n)
+        )
+        for i in range(0, n - batch_size + 1, batch_size):
+            idx = order[i : i + batch_size]
+            img = self.images[idx]
+            # (x, y) tuple for trainer-API uniformity: the grid splitter
+            # derives context masks from y and ignores x
+            yield img, img
+
+    def get_samples(self, n_samples=None, key=None):
+        n = n_samples or self.n_samples
+        k = self.next_key() if key is None else key
+        idx = jax.random.permutation(k, self.n_samples)[:n]
+        return self.images[idx]
+
+
+def _load_sklearn_digits(upscale: int = 4) -> Tuple[np.ndarray, np.ndarray]:
+    """8x8 sklearn digits -> [N, 8*u, 8*u, 1] in [0,1] with nearest upscale."""
+    from sklearn.datasets import load_digits
+
+    d = load_digits()
+    imgs = d.images.astype(np.float32) / 16.0  # [N, 8, 8]
+    if upscale > 1:
+        imgs = imgs.repeat(upscale, axis=1).repeat(upscale, axis=2)
+    return imgs[..., None], d.target
+
+
+class DigitsDataset(GridImageDataset):
+    """Offline MNIST stand-in from sklearn digits (default 32x32)."""
+
+    def __init__(self, train: bool = True, upscale: int = 4, seed: int = 0):
+        imgs, labels = _load_sklearn_digits(upscale)
+        n = imgs.shape[0]
+        split = int(0.9 * n)
+        rng = np.random.default_rng(0)
+        order = rng.permutation(n)
+        sel = order[:split] if train else order[split:]
+        self.labels = labels[sel]
+        super().__init__(imgs[sel], seed=seed)
+
+
+class ZeroShotMultiDigits(GridImageDataset):
+    """Zero-shot extrapolation construction (ref imgs.py:191-394):
+
+    train=True  -> one digit centred on a padded canvas [H+pad, W+pad];
+    train=False -> TWO digits independently translated on the same canvas,
+                   testing generalization to unseen spatial layouts.
+    """
+
+    def __init__(
+        self,
+        train: bool = True,
+        upscale: int = 2,
+        pad: int = 16,
+        n_test: int = 512,
+        seed: int = 0,
+    ):
+        imgs, _ = _load_sklearn_digits(upscale)
+        n, h, w, _ = imgs.shape
+        H, W = h + pad, w + pad
+        rng = np.random.default_rng(42)
+        if train:
+            canvas = np.zeros((n, H, W, 1), np.float32)
+            top, left = pad // 2, pad // 2
+            canvas[:, top : top + h, left : left + w] = imgs
+        else:
+            canvas = np.zeros((n_test, H, W, 1), np.float32)
+            for i in range(n_test):
+                for _ in range(2):
+                    j = rng.integers(n)
+                    top = rng.integers(0, H - h + 1)
+                    left = rng.integers(0, W - w + 1)
+                    canvas[i, top : top + h, left : left + w, 0] = np.maximum(
+                        canvas[i, top : top + h, left : left + w, 0],
+                        imgs[j, ..., 0],
+                    )
+        super().__init__(canvas, seed=seed)
+
+
+class SingleImage(GridImageDataset):
+    """Dataset of random crops-as-batches of ONE large image
+    (ref imgs.py:485-506). Used for structured-image in-painting demos."""
+
+    def __init__(self, image: np.ndarray, n_samples: int = 128, seed: int = 0):
+        if image.ndim == 2:
+            image = image[..., None]
+        imgs = np.repeat(image[None].astype(np.float32), n_samples, axis=0)
+        super().__init__(imgs, seed=seed)
+
+
+def _load_local_npz(path: str, key_img: str = "images") -> np.ndarray:
+    data = np.load(path)
+    imgs = data[key_img].astype(np.float32)
+    if imgs.max() > 1.5:
+        imgs = imgs / 255.0
+    if imgs.ndim == 3:
+        imgs = imgs[..., None]
+    return imgs
+
+
+class LocalNpzDataset(GridImageDataset):
+    """File-gated loader for real datasets (MNIST/CelebA dumps) placed at
+    `data/{name}_{train|test}.npz` with an `images` array. Keeps registry
+    parity in a zero-egress environment."""
+
+    def __init__(self, name: str, train: bool = True, root: str = "data", seed: int = 0):
+        split = "train" if train else "test"
+        path = os.path.join(root, f"{name}_{split}.npz")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"{name}: place an npz with an 'images' array at {path} "
+                f"(no network egress to download it here)"
+            )
+        super().__init__(_load_local_npz(path), seed=seed)
+
+
+DATASETS_DICT = {
+    "digits": DigitsDataset,
+    "digits16": lambda train=True, seed=0: DigitsDataset(train, upscale=2, seed=seed),
+    "zs_multi_digits": ZeroShotMultiDigits,
+    "zsmms": ZeroShotMultiDigits,  # reference alias
+    "mnist": lambda train=True, seed=0: LocalNpzDataset("mnist", train, seed=seed),
+    "celeba32": lambda train=True, seed=0: LocalNpzDataset("celeba32", train, seed=seed),
+    "svhn": lambda train=True, seed=0: LocalNpzDataset("svhn", train, seed=seed),
+}
+
+
+def get_train_test_img_dataset(name: str, seed: int = 0):
+    """(train, test) pair by registry name (ref imgs.py:45-55)."""
+    try:
+        ctor = DATASETS_DICT[name]
+    except KeyError:
+        raise KeyError(f"Unknown image dataset {name}; have {list(DATASETS_DICT)}")
+    return ctor(train=True, seed=seed), ctor(train=False, seed=seed + 1)

