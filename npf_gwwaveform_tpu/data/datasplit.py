@@ -127,14 +127,14 @@ class CntxtTrgtSplitter:
     targets_getter: Callable = get_all_indcs
     is_add_cntxts_to_trgts: bool = False
 
-    def __call__(self, key, x, y):
+    def __call__(self, key, x, y, condition=None):
         B, N = x.shape[0], x.shape[1]
         kc, kt = jax.random.split(key)
         mask_cntxt = self.contexts_getter(kc, B, N)
         mask_trgt = self.targets_getter(kt, B, N)
         if self.is_add_cntxts_to_trgts:
             mask_trgt = mask_trgt | mask_cntxt
-        return dict(
+        batch = dict(
             X_cntxt=x,
             Y_cntxt=y,
             mask_cntxt=mask_cntxt,
@@ -142,6 +142,9 @@ class CntxtTrgtSplitter:
             Y_trgt=y,
             mask_trgt=mask_trgt,
         )
+        if condition is not None:
+            batch["condition"] = condition
+        return batch
 
 
 # ------------------------------------------------------------ grid maskers

@@ -403,13 +403,22 @@ class GWWaveformDataset:
         self.n_samples = data.shape[0]
 
     def epoch_batches(self, batch_size: int, key=None):
+        for x, y, _ in self.epoch_batches_conditioned(batch_size, key):
+            yield x, y
+
+    def epoch_batches_conditioned(self, batch_size: int, key=None):
+        """Like epoch_batches but also yields the normalized physical
+        parameters [B, 4] for parameter-conditioned models."""
         if self.is_reuse_across_epochs:
             x, y, p = self._fixed
             for i in range(0, x.shape[0] - batch_size + 1, batch_size):
-                yield x[i : i + batch_size], y[i : i + batch_size]
+                yield (
+                    x[i : i + batch_size],
+                    y[i : i + batch_size],
+                    p[i : i + batch_size] if p is not None else None,
+                )
         else:
             n_batches = self.n_samples // batch_size
             k = self.next_key() if key is None else key
             for kb in jax.random.split(k, n_batches):
-                x, y, _ = self._sample_jit(kb, batch_size)
-                yield x, y
+                yield self._sample_jit(kb, batch_size)

@@ -54,6 +54,11 @@ class NeuralProcessFamily(nn.Module):
     LatentEncoder: Optional[Callable[[int], nn.Module]] = None
     min_lat_sigma: float = 0.1
     max_lat_sigma_ratio: float = 0.9
+    # ---- optional conditioning on global physical parameters (e.g. GW
+    # mass/spin, BASELINE.json config 5). 0 disables. When set, __call__
+    # accepts `condition [B, cond_dim]`, embedded and added to every global
+    # representation entry (and thereby to the latent path input).
+    cond_dim: int = 0
     dtype: Optional[jnp.dtype] = None
 
     # ------------------------------------------------------------- plumbing
@@ -133,6 +138,15 @@ class NeuralProcessFamily(nn.Module):
                     self.r_dim, dtype=self.dtype, name="reshaper_z"
                 )
 
+        if self.cond_dim > 0:
+            self.cond_encoder = MLP(
+                self.r_dim,
+                n_hidden_layers=1,
+                hidden_size=self.r_dim,
+                dtype=self.dtype,
+                name="cond_encoder",
+            )
+
         self._setup_extra()
 
     def _setup_extra(self):
@@ -148,6 +162,7 @@ class NeuralProcessFamily(nn.Module):
         y_trgt: Optional[jax.Array] = None,  # [B, Nt, y_dim]
         mask_cntxt: Optional[jax.Array] = None,  # [B, Nc] bool
         mask_trgt: Optional[jax.Array] = None,  # [B, Nt] bool
+        condition: Optional[jax.Array] = None,  # [B, cond_dim]
         train: bool = True,
     ) -> NPFOutput:
         if mask_cntxt is None:
@@ -161,6 +176,12 @@ class NeuralProcessFamily(nn.Module):
 
         # size = [B, *n_rep, r_dim]
         R = self.encode_globally(x_c, y_cntxt, mask_cntxt, train=train)
+
+        if self.cond_dim > 0:
+            if condition is None:
+                raise ValueError("cond_dim > 0 requires a `condition` input")
+            emb = self.cond_encoder(condition)  # [B, r_dim]
+            R = R + emb.reshape(emb.shape[0], *([1] * (R.ndim - 2)), emb.shape[-1])
 
         if self.has_latent:
             z_samples, q_zCc, q_zCct = self.latent_path(

@@ -34,6 +34,9 @@ def create_train_state(
     X_cntxt/Y_cntxt/mask_cntxt/X_trgt/Y_trgt/mask_trgt."""
     key = jax.random.PRNGKey(seed)
     k_param, k_latent, k_run = jax.random.split(key, 3)
+    kwargs = {}
+    if example_batch.get("condition") is not None:
+        kwargs["condition"] = example_batch["condition"]
     variables = model.init(
         {"params": k_param, "latent": k_latent},
         example_batch["X_cntxt"],
@@ -43,6 +46,7 @@ def create_train_state(
         mask_cntxt=example_batch.get("mask_cntxt"),
         mask_trgt=example_batch.get("mask_trgt"),
         train=True,
+        **kwargs,
     )
     variables = dict(variables)
     params = variables.pop("params")

@@ -56,6 +56,12 @@ class Trainer:
                 out_shardings=(repl, repl),
                 donate_argnums=(0,),
             )
+            self.train_step_cond = jax.jit(
+                self._train_step_cond,
+                in_shardings=(repl, shard, shard, shard),
+                out_shardings=(repl, repl),
+                donate_argnums=(0,),
+            )
             self.eval_step = jax.jit(
                 self._eval_step,
                 in_shardings=(repl, shard, shard, repl),
@@ -63,6 +69,9 @@ class Trainer:
             )
         else:
             self.train_step = jax.jit(self._train_step, donate_argnums=(0,))
+            self.train_step_cond = jax.jit(
+                self._train_step_cond, donate_argnums=(0,)
+            )
             self.eval_step = jax.jit(self._eval_step)
 
     # ------------------------------------------------------------ internals
@@ -81,6 +90,8 @@ class Trainer:
             train=train,
             rngs={"latent": k_latent},
         )
+        if batch.get("condition") is not None:
+            kwargs["condition"] = batch["condition"]
         if mutable:
             out, new_vars = self.model.apply(
                 variables,
@@ -102,8 +113,10 @@ class Trainer:
         )
         return out, extra_vars
 
-    def _loss_fn(self, params, extra_vars, x, y, k_split, k_latent):
+    def _loss_fn(self, params, extra_vars, x, y, cond, k_split, k_latent):
         batch = self._split(k_split, x, y)
+        if cond is not None:
+            batch["condition"] = cond
         out, new_vars = self._apply(params, extra_vars, batch, k_latent, train=True)
         loss = self.criterion(
             out, batch["Y_trgt"], batch.get("mask_trgt"), train=True
@@ -111,9 +124,15 @@ class Trainer:
         return loss, new_vars
 
     def _train_step(self, state: TrainState, x, y):
+        return self._step_impl(state, x, y, None)
+
+    def _train_step_cond(self, state: TrainState, x, y, cond):
+        return self._step_impl(state, x, y, cond)
+
+    def _step_impl(self, state: TrainState, x, y, cond):
         rng, k_split, k_latent = jax.random.split(state.rng, 3)
         (loss, new_vars), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
-            state.params, state.extra_vars, x, y, k_split, k_latent
+            state.params, state.extra_vars, x, y, cond, k_split, k_latent
         )
         updates, new_opt_state = self.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
