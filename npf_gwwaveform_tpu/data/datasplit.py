@@ -126,8 +126,17 @@ class CntxtTrgtSplitter:
     contexts_getter: Callable = GetRandomIndcs()
     targets_getter: Callable = get_all_indcs
     is_add_cntxts_to_trgts: bool = False
+    # duplicate the batch with independent splits of the SAME functions —
+    # the reference's `is_duplicate_batch` collate trick feeding UnetCNN's
+    # shared-bottleneck averaging (dataloader.py:20-35, cnn.py:466-475)
+    is_duplicate_batch: bool = False
 
     def __call__(self, key, x, y, condition=None):
+        if self.is_duplicate_batch:
+            x = jnp.concatenate([x, x], axis=0)
+            y = jnp.concatenate([y, y], axis=0)
+            if condition is not None:
+                condition = jnp.concatenate([condition, condition], axis=0)
         B, N = x.shape[0], x.shape[1]
         kc, kt = jax.random.split(key)
         mask_cntxt = self.contexts_getter(kc, B, N)
@@ -173,6 +182,20 @@ class RandomMasker:
 def no_masker(key, batch_size, grid_shape):
     """Everything selected (ref datasplit.py:329-333)."""
     return jnp.ones((batch_size,) + tuple(grid_shape), dtype=bool)
+
+
+@dataclass(frozen=True)
+class ResolutionMasker:
+    """Select every k-th pixel along each axis — a regular low-resolution
+    subsampling mask (ref datasplit.py:281-298)."""
+
+    factor: int = 2
+
+    def __call__(self, key, batch_size, grid_shape):
+        mask = jnp.zeros(grid_shape, dtype=bool)
+        idx = tuple(slice(None, None, self.factor) for _ in grid_shape)
+        mask = mask.at[idx].set(True)
+        return jnp.broadcast_to(mask[None], (batch_size,) + tuple(grid_shape))
 
 
 def half_masker(key, batch_size, grid_shape, dim=0):
@@ -226,6 +249,30 @@ class GridCntxtTrgtSplitter:
         ]
         mesh = jnp.stack(jnp.meshgrid(*axes, indexing="ij"), axis=-1)
         return mesh.reshape(-1, len(grid_shape))  # [prod(grid), ndim]
+
+
+@dataclass(frozen=True)
+class SuperresolutionCntxtTrgtSplitter:
+    """Super-resolution task: the DOWNSAMPLED image is the context (as a
+    regular-subsampling mask), the full-resolution grid the target
+    (ref SuperresolutionCntxtTrgtGetter, datasplit.py:455-490)."""
+
+    resolution_factor: int = 2
+
+    def __call__(self, key, y_grid, y=None):
+        if y is not None:
+            y_grid = y
+        B = y_grid.shape[0]
+        grid_shape = y_grid.shape[1:-1]
+        mask_cntxt = ResolutionMasker(self.resolution_factor)(key, B, grid_shape)
+        return dict(
+            X_cntxt=mask_cntxt[..., None],
+            Y_cntxt=y_grid,
+            mask_cntxt=mask_cntxt,
+            X_trgt=jnp.ones((B,) + tuple(grid_shape) + (1,), y_grid.dtype),
+            Y_trgt=y_grid,
+            mask_trgt=jnp.ones((B,) + tuple(grid_shape), bool),
+        )
 
 
 def grid_to_points(y_grid, mask, n_max: int, upscale_factor: float = 1.0):

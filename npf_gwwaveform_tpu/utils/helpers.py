@@ -152,6 +152,32 @@ def replicate_z_samples(t: jax.Array, n_z_samples: int) -> jax.Array:
     return jnp.broadcast_to(t[None], (n_z_samples,) + t.shape)
 
 
+def set_seed(seed: Optional[int]):
+    """Seed python/numpy RNGs and return a fresh jax PRNGKey
+    (ref utils/helpers.py:49-55; jax randomness is key-based, so the key IS
+    the seed state here)."""
+    import random as _random
+
+    import numpy as _np
+
+    if seed is not None:
+        _random.seed(seed)
+        _np.random.seed(seed)
+    return jax.random.PRNGKey(0 if seed is None else seed)
+
+
+def parallelize(func, inputs, n_jobs: Optional[int] = None):
+    """Multiprocessing map for host-side numpy preprocessing
+    (ref utils/helpers.py:77-93)."""
+    import multiprocessing as mp
+
+    n_jobs = n_jobs or max(1, mp.cpu_count() - 1)
+    if n_jobs == 1 or len(inputs) <= 1:
+        return [func(x) for x in inputs]
+    with mp.Pool(n_jobs) as pool:
+        return pool.map(func, inputs)
+
+
 def pool_and_replicate_middle(t: jax.Array) -> jax.Array:
     """Mean-pool all middle dims then broadcast back (ref helpers.py:21-31)."""
     pooled = jnp.mean(
