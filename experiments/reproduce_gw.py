@@ -1,0 +1,179 @@
+"""GW waveform NP experiment: train a model on IMRPhenomD-style waveforms
+and report the north-star quality metrics — held-out NLL and waveform
+MISMATCH of the NP reconstruction (BASELINE.json).
+
+The mismatch protocol: for each held-out waveform, reveal a random context
+subset of the time samples, let the NP predict the full waveform (posterior
+mean), and compute the matched-filter mismatch between prediction and truth.
+
+Usage:
+  python experiments/reproduce_gw.py --model ConvCNP --steps 20000 \
+      [--mode time|freq_ap] [--cond] [--bf16] [--out results/]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="ConvCNP",
+                    choices=["CNP", "AttnCNP", "LNP", "AttnLNP", "ConvCNP", "ConvLNP"])
+    ap.add_argument("--mode", default="time", choices=["time", "freq_ap"])
+    ap.add_argument("--steps", type=int, default=20_000)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--n-points", type=int, default=256)
+    ap.add_argument("--n-context", type=int, default=64)
+    ap.add_argument("--n-test", type=int, default=2048)
+    ap.add_argument("--cond", action="store_true", help="condition on mass/spin")
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--out", default="results/")
+    args = ap.parse_args()
+
+    from experiments.reproduce_gp import build_model, criterion_for
+    from npf_gwwaveform_tpu.data import (
+        CntxtTrgtSplitter,
+        GetRandomIndcs,
+        GWParameterSpace,
+        GWWaveformGenerator,
+        get_all_indcs,
+        mismatch,
+    )
+    from npf_gwwaveform_tpu.training import Trainer, create_train_state, make_optimizer
+    from npf_gwwaveform_tpu.utils.predict import SamplePredictor
+
+    gen = GWWaveformGenerator(duration=1.0, sample_rate=1024.0)
+    space = GWParameterSpace()
+    y_dim = 1 if args.mode == "time" else 2
+
+    dtype = jnp.bfloat16 if args.bf16 else None
+    model = build_model(args.model, dtype=dtype)
+    model = model.clone(y_dim=y_dim, cond_dim=4 if args.cond else 0)
+    criterion = criterion_for(args.model)
+    splitter = CntxtTrgtSplitter(
+        contexts_getter=GetRandomIndcs(a=0.0, b=args.n_context),
+        targets_getter=get_all_indcs,
+    )
+
+    steps_per_epoch = 1562
+    tx = make_optimizer(
+        lr=1e-3, decay_lr=10.0, max_epochs=max(1, args.steps // steps_per_epoch),
+        steps_per_epoch=steps_per_epoch,
+        grad_clip_norm=1.0 if args.model == "ConvLNP" else None,
+    )
+    trainer = Trainer(model, criterion, tx, splitter=splitter)
+
+    n_points = args.n_points
+    stride = gen.n_time // n_points
+    x_grid = jnp.linspace(-1.0, 1.0, n_points)
+
+    def make_batch(key, n):
+        theta = space.sample(key, n)
+        if args.mode == "time":
+            _, h = gen.time_domain(theta)
+            h = h[..., -n_points * stride :: stride][..., :n_points]
+            y = h[..., None]
+        else:
+            fd = gen.frequency_domain(theta, n_f=n_points)
+            psi = fd.phase
+            psi = (psi - jnp.mean(psi, -1, keepdims=True)) / (
+                jnp.std(psi, -1, keepdims=True) + 1e-8
+            )
+            y = jnp.stack([fd.amplitude, psi], axis=-1)
+        x = jnp.broadcast_to(x_grid[None, :, None], (n, n_points, 1))
+        return x, y, space.normalize(theta)
+
+    key = jax.random.PRNGKey(0)
+    x0, y0, p0 = make_batch(key, args.batch)
+    ex = splitter(key, x0, y0, condition=p0 if args.cond else None)
+    state = create_train_state(model, tx, ex, seed=0)
+
+    def one_step(state, k):
+        x, y, p = make_batch(k, args.batch)
+        if args.cond:
+            s, m = trainer._train_step_cond(state, x, y, p)
+        else:
+            s, m = trainer._train_step(state, x, y)
+        return s, m["loss"]
+
+    inner = 50
+
+    @jax.jit
+    def run_chunk(state, key):
+        return jax.lax.scan(one_step, state, jax.random.split(key, inner))
+
+    n_chunks = args.steps // inner
+    t0 = time.time()
+    state, losses = run_chunk(state, key)
+    jax.block_until_ready(losses)
+    print(f"compile+chunk0: {time.time()-t0:.1f}s loss {float(losses.mean()):.2f}")
+    t0 = time.time()
+    for i in range(1, n_chunks):
+        state, losses = run_chunk(state, jax.random.PRNGKey(10 + i))
+        if i % max(1, n_chunks // 10) == 0:
+            print(
+                f"chunk {i}/{n_chunks} loss {float(losses.mean()):.2f} "
+                f"({(i*inner*args.batch)/(time.time()-t0):.0f} wf/s)",
+                flush=True,
+            )
+    jax.block_until_ready(state.params)
+    train_time = time.time() - t0
+
+    # ------------------------- eval: NLL + waveform mismatch ----------------
+    @jax.jit
+    def eval_batch(state, key):
+        kd, ks, kl = jax.random.split(key, 3)
+        x, y, p = make_batch(kd, 256)
+        batch = splitter(ks, x, y, condition=p if args.cond else None)
+        nll = trainer._eval_step(state, x, y, ks)  # [B]
+        # fixed-size context reconstruction for the mismatch metric
+        out, _ = trainer._apply(state.params, state.extra_vars, batch, kl, train=False)
+        pred = jnp.mean(out.p_yCc.loc, axis=0)  # [B, N, y_dim] over z
+        return nll, pred, y
+
+    nlls, mms = [], []
+    for i in range(args.n_test // 256):
+        nll, pred, y = eval_batch(state, jax.random.fold_in(jax.random.PRNGKey(123), i))
+        nlls.append(np.asarray(nll))
+        if args.mode == "time":
+            mm = mismatch(pred[..., 0], y[..., 0])
+            mms.append(np.asarray(mm))
+    nlls = np.concatenate(nlls)
+
+    summary = {
+        "model": args.model,
+        "mode": args.mode,
+        "conditioned": bool(args.cond),
+        "steps": args.steps,
+        "train_wf_per_sec": args.steps * args.batch / train_time,
+        "test_nll_per_wf": float(nlls.mean()),
+        "test_ll_per_wf": float(-nlls.mean()),
+    }
+    if mms:
+        mm = np.concatenate(mms)
+        summary["mismatch_median"] = float(np.median(mm))
+        summary["mismatch_mean"] = float(mm.mean())
+        summary["mismatch_p90"] = float(np.percentile(mm, 90))
+
+    tag = f"GW_{args.mode}" + ("_cond" if args.cond else "")
+    run_dir = os.path.join(args.out, tag, args.model, "run_0")
+    os.makedirs(run_dir, exist_ok=True)
+    np.savetxt(os.path.join(run_dir, "eval.csv"), -nlls, delimiter=",")
+    with open(os.path.join(run_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

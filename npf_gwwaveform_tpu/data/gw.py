@@ -307,21 +307,48 @@ class GWWaveformGenerator:
 # -------------------------------------------------------------- match metric
 
 
-def match(h1: jax.Array, h2: jax.Array, axis: int = -1) -> jax.Array:
-    """Overlap between two (time-domain, white-PSD) waveforms maximized over
-    time and phase shifts — the standard matched-filter match computed with
-    one FFT. h1, h2: [..., N]."""
+def psd_aligo(freqs: jax.Array) -> jax.Array:
+    """Analytic Advanced-LIGO design PSD fit (Ajith & Bose 2009 style,
+    arXiv:0901.4936 Table 1 form): S(f) = 1e-49 * [x^-4.14 - 5 x^-2 +
+    111 (1 - x^2 + x^4/2)/(1 + x^2/2)], x = f/215 Hz. Clamped below 10 Hz."""
+    x = jnp.maximum(freqs, 10.0) / 215.0
+    s = (
+        x ** (-4.14)
+        - 5.0 / (x**2)
+        + 111.0 * (1.0 - x**2 + 0.5 * x**4) / (1.0 + 0.5 * x**2)
+    )
+    return 1e-49 * jnp.maximum(s, 1e-6)
+
+
+def match(
+    h1: jax.Array,
+    h2: jax.Array,
+    axis: int = -1,
+    psd: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Overlap between two time-domain waveforms maximized over time and
+    phase shifts — the standard matched-filter match via one FFT.
+    h1, h2: [..., N]. `psd` (length N//2+1) noise-weights the inner product
+    (e.g. `psd_aligo(rfftfreqs)`); None = white noise."""
     f1 = jnp.fft.rfft(h1, axis=axis)
     f2 = jnp.fft.rfft(h2, axis=axis)
-    corr = jnp.fft.irfft(f1 * jnp.conj(f2), n=h1.shape[axis], axis=axis)
-    num = jnp.max(jnp.abs(corr), axis=axis)
-    n1 = jnp.sqrt(jnp.sum(h1 * h1, axis=axis))
-    n2 = jnp.sqrt(jnp.sum(h2 * h2, axis=axis))
+    if psd is not None:
+        w = 1.0 / psd
+        f1w = f1 * w
+        corr = jnp.fft.irfft(f1w * jnp.conj(f2), n=h1.shape[axis], axis=axis)
+        num = jnp.max(jnp.abs(corr), axis=axis)
+        n1 = jnp.sqrt(jnp.sum((jnp.abs(f1) ** 2) * w, axis=axis))
+        n2 = jnp.sqrt(jnp.sum((jnp.abs(f2) ** 2) * w, axis=axis))
+    else:
+        corr = jnp.fft.irfft(f1 * jnp.conj(f2), n=h1.shape[axis], axis=axis)
+        num = jnp.max(jnp.abs(corr), axis=axis)
+        n1 = jnp.sqrt(jnp.sum(h1 * h1, axis=axis))
+        n2 = jnp.sqrt(jnp.sum(h2 * h2, axis=axis))
     return num / jnp.maximum(n1 * n2, 1e-30)
 
 
-def mismatch(h1, h2, axis: int = -1):
-    return 1.0 - match(h1, h2, axis=axis)
+def mismatch(h1, h2, axis: int = -1, psd: Optional[jax.Array] = None):
+    return 1.0 - match(h1, h2, axis=axis, psd=psd)
 
 
 # ------------------------------------------------------------------ dataset
