@@ -31,42 +31,17 @@ import numpy as np
 
 
 def build_model(name: str, dtype=None):
-    from npf_gwwaveform_tpu import (
-        CNP,
-        LNP,
-        AttnCNP,
-        AttnLNP,
-        ConvCNP,
-        ConvLNP,
-    )
+    """Notebook-parity architectures (parameter counts verified equal to the
+    reference's notebook configs — see npf_gwwaveform_tpu/configs.py)."""
+    from npf_gwwaveform_tpu.configs import gp_model_1d
 
-    common = dict(y_dim=1, x_dim=1, r_dim=128, dtype=dtype)
-    conv = dict(
-        density_induced=64, cnn_n_blocks=5, cnn_kernel_size=19,
-    )
-    if name == "CNP":
-        return CNP(**common)
-    if name == "LNP":
-        return LNP(**common, n_z_samples_train=32, n_z_samples_test=32)
-    if name == "AttnCNP":
-        return AttnCNP(**common)
-    if name == "AttnLNP":
-        return AttnLNP(**common, n_z_samples_train=32, n_z_samples_test=8)
-    if name == "ConvCNP":
-        return ConvCNP(**common, **conv)
-    if name == "ConvLNP":
-        return ConvLNP(
-            **common, **conv, n_z_samples_train=16, n_z_samples_test=32,
-        )
-    raise ValueError(name)
+    return gp_model_1d(name, dtype=dtype)
 
 
 def criterion_for(name: str):
-    from npf_gwwaveform_tpu.losses import CNPFLoss, NLLLossLNPF
+    from npf_gwwaveform_tpu.configs import gp_criterion
 
-    if name in ("CNP", "AttnCNP", "ConvCNP"):
-        return CNPFLoss()
-    return NLLLossLNPF()
+    return gp_criterion(name)
 
 
 def main():

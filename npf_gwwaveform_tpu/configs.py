@@ -1,0 +1,115 @@
+"""Notebook-parity model configurations.
+
+The reference's benchmark numbers come from the reproducibility notebooks'
+explicit configs, NOT the class defaults (e.g. CNP's XYEncoder is a
+2-hidden-layer MLP of width 2*R_DIM "to have similar number of parameters
+than other NPFs" — CNP.ipynb; ConvCNP's CNN is 5 ResConvBlocks with TWO conv
+layers per block, k=19, BatchNorm — ConvCNP.ipynb; ConvLNP uses 4 blocks,
+is_global=True, NPML with n_z_train=16 — ConvLNP.ipynb; LNP/AttnLNP train
+NPVI with n_z_train=1 — LNP.ipynb/AttnLNP.ipynb).
+
+`gp_model_1d(name)` reproduces the exact 1-D GP-benchmark architectures;
+`gp_criterion(name)` the matching training objective.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from .losses import CNPFLoss, ELBOLossLNPF, NLLLossLNPF
+from .models import CNP, LNP, AttnCNP, AttnLNP, ConvCNP, ConvLNP
+from .ops.cnn import CNN
+from .ops.encoders import merge_flat_input
+from .ops.mlp import MLP
+
+R_DIM = 128
+
+__all__ = ["gp_model_1d", "gp_criterion", "R_DIM"]
+
+
+def _xy_encoder(hidden_size, dtype=None):
+    return merge_flat_input(
+        lambda n_out, **kw: MLP(
+            n_out, n_hidden_layers=2, hidden_size=hidden_size, dtype=dtype, **kw
+        ),
+        is_sum_merge=True,
+    )
+
+
+def _cnn_factory(n_blocks, dtype=None):
+    # ConvCNP.ipynb CNN_KWARGS: ResConvBlock, n_conv_layers=2, k=19, BatchNorm
+    def make(r_dim, name=None):
+        return CNN(
+            n_channels=r_dim,
+            n_blocks=n_blocks,
+            kernel_size=19,
+            norm="batch",
+            block_kwargs={"n_conv_layers": 2},
+            dtype=dtype,
+            name=name,
+        )
+
+    return make
+
+
+def gp_model_1d(name: str, r_dim: int = R_DIM, dtype: Optional[jnp.dtype] = None):
+    """The exact 1-D model the reference's notebook benchmarks use."""
+    common = dict(y_dim=1, x_dim=1, r_dim=r_dim, dtype=dtype)
+    if name == "CNP":
+        return CNP(
+            **common,
+            XYEncoder=lambda n_out: _xy_encoder(2 * r_dim, dtype)(n_out, name="xy_encoder"),
+        )
+    if name == "LNP":
+        return LNP(
+            **common,
+            XYEncoder=lambda n_out: _xy_encoder(2 * r_dim, dtype)(n_out, name="xy_encoder"),
+            is_q_zCct=True,  # NPVI
+            n_z_samples_train=1,
+            n_z_samples_test=32,
+        )
+    if name == "AttnCNP":
+        return AttnCNP(
+            **common,
+            XYEncoder=lambda n_out: _xy_encoder(r_dim, dtype)(n_out, name="xy_encoder"),
+            attention="transformer",
+        )
+    if name == "AttnLNP":
+        return AttnLNP(
+            **common,
+            XYEncoder=lambda n_out: _xy_encoder(r_dim, dtype)(n_out, name="xy_encoder"),
+            attention="transformer",
+            is_q_zCct=True,
+            n_z_samples_train=1,
+            n_z_samples_test=8,
+        )
+    if name == "ConvCNP":
+        return ConvCNP(
+            **common,
+            density_induced=64,
+            CNNFactory=_cnn_factory(5, dtype),
+        )
+    if name == "ConvLNP":
+        return ConvLNP(
+            **common,
+            density_induced=64,
+            CNNFactory=_cnn_factory(4, dtype),
+            is_q_zCct=False,  # NPML
+            n_z_samples_train=16,
+            n_z_samples_test=32,
+            is_global=True,
+        )
+    raise ValueError(name)
+
+
+def gp_criterion(name: str):
+    """The matching training objective (eval always forces NPML)."""
+    if name in ("CNP", "AttnCNP", "ConvCNP"):
+        return CNPFLoss()
+    if name in ("LNP", "AttnLNP"):
+        return ELBOLossLNPF()  # NPVI (requires is_q_zCct=True)
+    if name == "ConvLNP":
+        return NLLLossLNPF()  # NPML
+    raise ValueError(name)

@@ -80,14 +80,21 @@ class GPSampler:
     kernel: str = "rbf"
     n_points: int = 128
     min_max: Tuple[float, float] = (-2.0, 2.0)
-    alpha: float = 0.005  # diagonal jitter (sklearn GaussianProcessRegressor alpha)
+    # `alpha` is the sklearn GaussianProcessRegressor regularizer — it only
+    # enters the FITTED posterior (oracle plots), NOT prior function draws:
+    # sklearn's sample_y on an unfitted GPR samples from the pure kernel
+    # prior. sample_jitter is the tiny Cholesky stabilizer for the draws.
+    alpha: float = 0.005
+    sample_jitter: float = 1e-6
     length_scale: float = 0.2
     periodicity: float = 0.5
     noise_level: float = 0.1
     nu: float = 1.5
     length_scale_bounds: Tuple[float, float] = (0.01, 0.3)
 
-    def _cov(self, x: jax.Array, length_scale: jax.Array) -> jax.Array:
+    def _cov(
+        self, x: jax.Array, length_scale: jax.Array, jitter: Optional[float] = None
+    ) -> jax.Array:
         if self.kernel == "rbf":
             k = rbf_cov(x, length_scale)
         elif self.kernel == "periodic":
@@ -100,7 +107,8 @@ class GPSampler:
             k = matern15_cov(x, length_scale) + white_cov(x, self.noise_level)
         else:
             raise ValueError(f"Unknown kernel {self.kernel}")
-        return k + self.alpha * jnp.eye(x.shape[0])
+        jit = self.sample_jitter if jitter is None else jitter
+        return k + jit * jnp.eye(x.shape[0])
 
     @property
     def is_vary_kernel_hyp(self) -> bool:
@@ -139,12 +147,11 @@ class GPSampler:
         lo, hi = self.min_max
         to_native = lambda x: (x + 1.0) * 0.5 * (hi - lo) + lo
         xc, xt = to_native(x_cntxt), to_native(x_test)
-        k_cc = self._cov(xc, ls)
-        # cross/test covs without jitter
-        jitter = self.alpha * jnp.eye(xc.shape[0])
-        k_cc_noj = k_cc  # _cov already adds alpha; keep for solve stability
+        # the fitted-GPR regularizer alpha enters HERE (oracle posterior),
+        # mirroring sklearn GaussianProcessRegressor(alpha=0.005).fit
+        k_cc_noj = self._cov(xc, ls, jitter=self.alpha)
         both = jnp.concatenate([xc, xt], axis=0)
-        k_all = self._cov(both, ls)
+        k_all = self._cov(both, ls, jitter=0.0)
         n = xc.shape[0]
         k_ct = k_all[:n, n:]
         k_tt = k_all[n:, n:]
