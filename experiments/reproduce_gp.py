@@ -93,66 +93,84 @@ def main():
         new_state, m = trainer._train_step(state, x, y)
         return new_state, m["loss"]
 
-    inner = 50
-
-    @jax.jit
-    def run_chunk(state, key):
-        return jax.lax.scan(one_step, state, jax.random.split(key, inner))
-
-    total_steps = steps_per_epoch * args.epochs
-    n_chunks = total_steps // inner
-    print(
-        f"{args.model} on {args.kernel}: {total_steps} steps "
-        f"({args.epochs} epochs x {args.fns_per_epoch} fns), {n_chunks} chunks"
-    )
-    t0 = time.time()
-    state, losses = run_chunk(state, jax.random.PRNGKey(1))
-    jax.block_until_ready(losses)
-    print(f"  compile+first chunk: {time.time()-t0:.1f}s  loss {float(losses.mean()):.2f}")
-
     # fixed valid set for best-checkpoint retention (the reference reloads
     # the best-valid-loss epoch before eval, utils/train.py:208-221, 270-271)
     k_valid = jax.random.PRNGKey(777)
     xv, yv = sampler.sample(k_valid, 512)
 
+    inner = 50
+    total_steps = steps_per_epoch * args.epochs
+    n_chunks = max(1, total_steps // inner)
+    print(
+        f"{args.model} on {args.kernel}: {total_steps} steps "
+        f"({args.epochs} epochs x {args.fns_per_epoch} fns), {n_chunks} chunks"
+    )
+
+    # The ENTIRE training run is ONE jitted nested scan — a single host->TPU
+    # dispatch with on-device valid-loss checks + best-params tracking, so
+    # throughput is independent of host/tunnel dispatch latency.
+    def chunk_body(carry, chunk_key):
+        state, best_v, best_params = carry
+        ks, kv = jax.random.split(chunk_key)
+        state, losses = jax.lax.scan(one_step, state, jax.random.split(ks, inner))
+        v = jnp.mean(trainer._eval_step(state, xv, yv, kv))
+        better = v < best_v
+        best_params = jax.tree.map(
+            lambda b, p: jnp.where(better, p, b), best_params, state.params
+        )
+        return (state, jnp.minimum(v, best_v), best_params), jnp.mean(losses)
+
+    # ~10 dispatches total: each executes a scan over n_chunks/10 chunks
+    # (~30s device time), so neither per-step dispatch latency nor
+    # very-long single executions (which the transport can drop) hurt.
+    n_super = min(10, n_chunks)
+    per_super = n_chunks // n_super
+
     @jax.jit
-    def valid_loss(state, k):
-        return jnp.mean(trainer._eval_step(state, xv, yv, k))
+    def run_super(carry, key):
+        return jax.lax.scan(chunk_body, carry, jax.random.split(key, per_super))
 
     t0 = time.time()
-    log_every = max(1, n_chunks // 10)
-    check_every = max(1, n_chunks // 50)
-    best_valid, best_params = np.inf, state.params
-    for i in range(1, n_chunks):
-        state, losses = run_chunk(state, jax.random.PRNGKey(2 + i))
-        if i % check_every == 0 or i == n_chunks - 1:
-            vl = float(valid_loss(state, jax.random.fold_in(k_valid, i)))
-            if vl < best_valid:
-                best_valid, best_params = vl, state.params
-        if i % log_every == 0:
-            print(
-                f"  chunk {i}/{n_chunks} loss {float(losses.mean()):.2f} "
-                f"valid* {best_valid:.2f} "
-                f"({(i*inner*args.batch)/(time.time()-t0):.0f} fns/s)",
-                flush=True,
-            )
-    jax.block_until_ready(state.params)
+    carry = (state, jnp.inf, state.params)
+    first_last = [None, None]
+    for s in range(n_super):
+        carry, chunk_losses = run_super(carry, jax.random.PRNGKey(1000 + s))
+        jax.block_until_ready(chunk_losses)
+        cl = np.asarray(chunk_losses)
+        if first_last[0] is None:
+            first_last[0] = float(cl[0])
+        first_last[1] = float(cl[-1])
+        print(
+            f"  super {s + 1}/{n_super} loss {cl.mean():.2f} "
+            f"({((s + 1) * per_super * inner * args.batch) / (time.time() - t0):.0f} fns/s)",
+            flush=True,
+        )
+    state, best_valid, best_params = carry
     train_time = time.time() - t0
     state = state.replace(params=best_params)
-    print(f"  train done in {train_time:.1f}s  best valid {best_valid:.2f}")
+    print(
+        f"  train done in {train_time:.1f}s  best valid {float(best_valid):.2f} "
+        f"loss first/last: {first_last[0]:.2f}/{first_last[1]:.2f}"
+    )
 
     # ---- evaluation: fixed 10k test functions, seed-123 splits, NPML n_z=32
-    eval_key = jax.random.PRNGKey(123)
-    k_data, k_split = jax.random.split(eval_key)
-    lls = []
+    # (single dispatch: scan over eval batches on device)
     eval_bs = 256
-    for i in range(args.n_test // eval_bs):
-        kd = jax.random.fold_in(k_data, i)
-        ks = jax.random.fold_in(k_split, i)
-        x, y = sampler.sample(kd, eval_bs)
-        loss = trainer.eval_step(state, x, y, ks)  # [B] negative summed LL
-        lls.append(-np.asarray(loss))
-    lls = np.concatenate(lls)
+    n_eval_batches = args.n_test // eval_bs
+    k_data, k_split = jax.random.split(jax.random.PRNGKey(123))
+
+    @jax.jit
+    def run_eval(state):
+        def body(_, i):
+            kd = jax.random.fold_in(k_data, i)
+            ks = jax.random.fold_in(k_split, i)
+            x, y = sampler.sample(kd, eval_bs)
+            return None, trainer._eval_step(state, x, y, ks)
+
+        _, nlls = jax.lax.scan(body, None, jnp.arange(n_eval_batches))
+        return -nlls.reshape(-1)
+
+    lls = np.asarray(run_eval(state))
 
     run_dir = os.path.join(args.out, args.kernel, args.model, "run_0")
     os.makedirs(run_dir, exist_ok=True)

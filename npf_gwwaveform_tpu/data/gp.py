@@ -85,7 +85,7 @@ class GPSampler:
     # sklearn's sample_y on an unfitted GPR samples from the pure kernel
     # prior. sample_jitter is the tiny Cholesky stabilizer for the draws.
     alpha: float = 0.005
-    sample_jitter: float = 1e-6
+    sample_jitter: float = 1e-5  # smallest TPU-cholesky-stable value
     length_scale: float = 0.2
     periodicity: float = 0.5
     noise_level: float = 0.1
@@ -127,9 +127,25 @@ class GPSampler:
             ls = jax.random.uniform(kl, (), minval=lo, maxval=hi)
         else:
             ls = jnp.asarray(self.length_scale)
-        cov = self._cov(x, ls)
-        chol = jnp.linalg.cholesky(cov)
-        y = chol @ jax.random.normal(ky, (self.n_points, 1))
+        cov = self._cov(x, ls, jitter=0.0)
+        # two-stage jittered Cholesky in full-f32 precision: the pure RBF
+        # prior is near-singular and TPU's f32 factorization fails for rare
+        # X draws at the base jitter; those fall back to 100x jitter (the
+        # reference retries failed sklearn draws similarly,
+        # gaussian_process.py:209-225)
+        eye = jnp.eye(self.n_points)
+        with jax.default_matmul_precision("highest"):
+            chol1 = jnp.linalg.cholesky(cov + self.sample_jitter * eye)
+            bad = ~jnp.all(jnp.isfinite(chol1))
+            chol2 = jnp.linalg.cholesky(
+                cov + 100.0 * self.sample_jitter * eye
+            )
+            chol = jnp.where(bad, chol2, chol1)
+            eps = jax.random.normal(ky, (self.n_points, 1))
+            y = chol @ eps
+        # ultimate guard: a doubly-failed draw becomes white noise rather
+        # than poisoning the training batch with NaNs
+        y = jnp.where(jnp.all(jnp.isfinite(y)), y, eps)
         return x, y
 
     def posterior(self, x_cntxt, y_cntxt, x_test, length_scale=None):
