@@ -55,6 +55,10 @@ def main():
     ap.add_argument("--out", default="results/")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--seed", type=int, default=123)
+    ap.add_argument(
+        "--per-super", type=int, default=80,
+        help="chunks (x50 steps) per dispatch; smaller for heavy models",
+    )
     args = ap.parse_args()
 
     from npf_gwwaveform_tpu.data import (
@@ -120,11 +124,13 @@ def main():
         )
         return (state, jnp.minimum(v, best_v), best_params), jnp.mean(losses)
 
-    # ~10 dispatches total: each executes a scan over n_chunks/10 chunks
-    # (~30s device time), so neither per-step dispatch latency nor
-    # very-long single executions (which the transport can drop) hurt.
-    n_super = min(10, n_chunks)
-    per_super = n_chunks // n_super
+    # Multiple medium dispatches: each executes a scan over `per_super`
+    # chunks, amortizing dispatch latency while keeping single executions
+    # short enough for the transport. The carry is snapshotted to host after
+    # every dispatch so a dropped execution (UNAVAILABLE device error) can be
+    # retried from the last good state.
+    per_super = max(1, min(args.per_super, n_chunks))
+    n_super = (n_chunks + per_super - 1) // per_super
 
     @jax.jit
     def run_super(carry, key):
@@ -132,17 +138,31 @@ def main():
 
     t0 = time.time()
     carry = (state, jnp.inf, state.params)
+    carry_host = jax.device_get(carry)
     first_last = [None, None]
-    for s in range(n_super):
-        carry, chunk_losses = run_super(carry, jax.random.PRNGKey(1000 + s))
-        jax.block_until_ready(chunk_losses)
+    s = 0
+    retries = 0
+    while s < n_super:
+        try:
+            carry, chunk_losses = run_super(carry, jax.random.PRNGKey(1000 + s))
+            jax.block_until_ready(chunk_losses)
+        except Exception as e:  # dropped execution: retry from host snapshot
+            retries += 1
+            if retries > 5:
+                raise
+            print(f"  super {s + 1} failed ({type(e).__name__}); retrying", flush=True)
+            time.sleep(5)
+            carry = jax.device_put(carry_host)
+            continue
+        carry_host = jax.device_get(carry)
         cl = np.asarray(chunk_losses)
         if first_last[0] is None:
             first_last[0] = float(cl[0])
         first_last[1] = float(cl[-1])
+        s += 1
         print(
-            f"  super {s + 1}/{n_super} loss {cl.mean():.2f} "
-            f"({((s + 1) * per_super * inner * args.batch) / (time.time() - t0):.0f} fns/s)",
+            f"  super {s}/{n_super} loss {cl.mean():.2f} "
+            f"({(s * per_super * inner * args.batch) / (time.time() - t0):.0f} fns/s)",
             flush=True,
         )
     state, best_valid, best_params = carry
