@@ -18,7 +18,7 @@ Reference layer map: /root/reference SURVEY.md §1-2.
 
 __version__ = "0.1.0"
 
-from . import distributions, losses
+from . import configs, distributions, losses, notebooks
 from .models import (
     CNP,
     LNP,
@@ -46,4 +46,6 @@ __all__ = [
     "SUMOLossLNPF",
     "distributions",
     "losses",
+    "configs",
+    "notebooks",
 ]

@@ -27,15 +27,38 @@ from .convnp import ConvCNP, ConvLNP
 
 
 class GridConvCNP(ConvCNP):
-    """ConvCNP special case on a fixed grid (gridconvnp.py:28-178)."""
+    """ConvCNP special case on a fixed grid (gridconvnp.py:28-178).
+
+    conv_padding="CIRCULAR" gives FULL translation equivariance via periodic
+    boundaries (the reference's CircularPad2d `model_2d_extrap` config,
+    ConvCNP.ipynb + npf/utils/helpers.py:334-406) — the zero-shot
+    extrapolation setting for zsmms."""
 
     conv_kernel_size: int = 11
+    conv_padding: str = "SAME"
+
+    def _make_cnn(self, name):
+        if self.CNNFactory is not None:
+            return self.CNNFactory(self.r_dim, name=name)
+        from ..ops.cnn import CNN, ResConvBlock
+
+        return CNN(
+            n_channels=self.r_dim,
+            n_blocks=self.cnn_n_blocks,
+            kernel_size=self.cnn_kernel_size,
+            norm=self.cnn_norm,
+            padding=self.conv_padding,
+            ConvBlockModule=ResConvBlock,
+            dtype=self.dtype,
+            name=name,
+        )
 
     def _setup_extra(self):
         # no SetConvs on the grid; depthwise abs-conv + resizer instead
         self.conv = AbsConv(
             kernel_size=self.conv_kernel_size,
             use_bias=False,
+            padding=self.conv_padding,
             dtype=self.dtype,
             name="conv",
         )

@@ -44,6 +44,7 @@ class DepthSepConv(nn.Module):
     out_chan: int
     kernel_size: int
     use_bias: bool = True
+    padding: str = "SAME"  # or "CIRCULAR" for periodic boundaries
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -53,7 +54,7 @@ class DepthSepConv(nn.Module):
         x = nn.Conv(
             in_chan,
             kernel_size=(self.kernel_size,) * n_spatial,
-            padding="SAME",
+            padding=self.padding,
             feature_group_count=in_chan,
             use_bias=self.use_bias,
             kernel_init=winit.kaiming_normal_fanout,
@@ -77,6 +78,7 @@ class ConvBlock(nn.Module):
     kernel_size: int = 5
     norm: Optional[str] = None
     activation: Callable = nn.relu
+    padding: str = "SAME"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -84,7 +86,8 @@ class ConvBlock(nn.Module):
         x = _norm_layer(self.norm, "norm")(x, train)
         x = self.activation(x)
         return DepthSepConv(
-            self.out_chan, self.kernel_size, dtype=self.dtype, name="conv"
+            self.out_chan, self.kernel_size, padding=self.padding,
+            dtype=self.dtype, name="conv"
         )(x)
 
 
@@ -99,6 +102,7 @@ class ResConvBlock(nn.Module):
     activation: Callable = nn.relu
     n_conv_layers: int = 1
     is_bias: bool = True
+    padding: str = "SAME"  # "CIRCULAR" gives full translation equivariance
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -117,6 +121,7 @@ class ResConvBlock(nn.Module):
                 in_chan,
                 self.kernel_size,
                 use_bias=self.is_bias,
+                padding=self.padding,
                 dtype=self.dtype,
                 name="conv1",
             )(out)
@@ -126,7 +131,7 @@ class ResConvBlock(nn.Module):
         out = nn.Conv(
             in_chan,
             kernel_size=(self.kernel_size,) * n_spatial,
-            padding="SAME",
+            padding=self.padding,
             feature_group_count=in_chan,
             use_bias=self.is_bias,
             kernel_init=winit.kaiming_normal_fanout,
@@ -160,6 +165,7 @@ class CNN(nn.Module):
     n_blocks: int = 3
     kernel_size: int = 5
     norm: Optional[str] = None
+    padding: str = "SAME"
     ConvBlockModule: Callable[..., nn.Module] = ResConvBlock
     block_kwargs: Optional[dict] = None
     dtype: Optional[jnp.dtype] = None
@@ -172,6 +178,7 @@ class CNN(nn.Module):
                 out_chan,
                 kernel_size=self.kernel_size,
                 norm=self.norm,
+                padding=self.padding,
                 dtype=self.dtype,
                 name=f"block_{i}",
                 **(self.block_kwargs or {}),
@@ -288,6 +295,7 @@ class AbsConv(nn.Module):
 
     kernel_size: int = 11
     use_bias: bool = False
+    padding: str = "SAME"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -299,13 +307,22 @@ class AbsConv(nn.Module):
             winit.kaiming_normal_fanout,
             (self.kernel_size,) * n_spatial + (1, in_chan),
         )
+        if self.padding == "CIRCULAR":
+            # periodic boundary (ref CircularPad2d + make_padded_conv,
+            # npf/utils/helpers.py:334-406): wrap-pad then VALID conv
+            p = self.kernel_size // 2
+            pads = ((0, 0),) + ((p, p),) * n_spatial + ((0, 0),)
+            x = jnp.pad(x, pads, mode="wrap")
+            pad_arg = "VALID"
+        else:
+            pad_arg = self.padding
         dn_in = "NWC" if n_spatial == 1 else "NHWC"
         dn_k = "WIO" if n_spatial == 1 else "HWIO"
         return jax.lax.conv_general_dilated(
             x,
             jnp.abs(kernel).astype(x.dtype),
             window_strides=(1,) * n_spatial,
-            padding="SAME",
+            padding=pad_arg,
             dimension_numbers=(dn_in, dn_k, dn_in),
             feature_group_count=in_chan,
         )

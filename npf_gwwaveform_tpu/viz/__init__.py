@@ -6,7 +6,11 @@ from .visualize_1d import (
     plot_posterior_samples_1d,
     plot_prior_samples_1d,
 )
-from .visualize_imgs import plot_posterior_samples_imgs, points_to_grid
+from .visualize_imgs import (
+    plot_posterior_samples_imgs,
+    plot_qualitative_with_kde,
+    points_to_grid,
+)
 
 __all__ = [
     "fig2img",
@@ -18,5 +22,6 @@ __all__ = [
     "plot_losses",
     "gen_p_y_pred",
     "plot_posterior_samples_imgs",
+    "plot_qualitative_with_kde",
     "points_to_grid",
 ]

@@ -37,6 +37,44 @@ def points_to_grid(x, y, grid_shape, fill=0.0):
     return canvas
 
 
+def plot_qualitative_with_kde(
+    model,
+    variables,
+    images,
+    lls,
+    percentiles=(1, 25, 50, 75, 99),
+    context_fraction=0.3,
+    key=None,
+):
+    """Qualitative panel keyed to the test-LL distribution
+    (ref visualize_imgs.py:467-770, simplified): a KDE of per-image test
+    log-likelihoods plus in-painting panels for the images sitting at the
+    given LL percentiles."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    lls = np.asarray(lls)
+    idx = [int(np.argsort(lls)[min(len(lls) - 1, int(p / 100 * len(lls)))]) for p in percentiles]
+
+    fig = plt.figure(figsize=(3 * len(percentiles), 7))
+    gs = fig.add_gridspec(2, 1, height_ratios=[1, 2])
+    ax_kde = fig.add_subplot(gs[0])
+    try:
+        import seaborn as sns
+
+        sns.kdeplot(lls, ax=ax_kde, fill=True)
+    except ImportError:
+        ax_kde.hist(lls, bins=50, density=True, alpha=0.5)
+    for p, i in zip(percentiles, idx):
+        ax_kde.axvline(lls[i], color="r", ls=":", alpha=0.6)
+        ax_kde.text(lls[i], ax_kde.get_ylim()[1] * 0.9, f"{p}%", fontsize=7)
+    ax_kde.set_xlabel("per-image test log-likelihood")
+
+    sel = jnp.asarray(np.stack([np.asarray(images[i]) for i in idx]))
+    mask = jax.random.bernoulli(key, context_fraction, sel.shape[:-1])[..., None]
+    sub = fig.add_subfigure(gs[1])
+    plot_posterior_samples_imgs(model, variables, mask, sel, n_samples=1, key=key, fig=sub)
+    return fig
+
+
 def get_posterior_samples_imgs(model, variables, mask_cntxt, y_grid, n_samples=3, key=None):
     """Predictive mean/std on the full grid given a context mask
     (ref visualize_imgs.py:58-113)."""
