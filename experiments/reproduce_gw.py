@@ -136,9 +136,10 @@ def main():
         kd, ks, kl = jax.random.split(key, 3)
         x, y, p = make_batch(kd, 256)
         batch = splitter(ks, x, y, condition=p if args.cond else None)
-        nll = trainer._eval_step(state, x, y, ks)  # [B]
-        # fixed-size context reconstruction for the mismatch metric
         out, _ = trainer._apply(state.params, state.extra_vars, batch, kl, train=False)
+        # per-waveform NLL with the eval criterion (NPML forced)
+        nll = trainer.eval_criterion(out, batch["Y_trgt"], batch["mask_trgt"], train=False)
+        # posterior-mean reconstruction for the mismatch metric
         pred = jnp.mean(out.p_yCc.loc, axis=0)  # [B, N, y_dim] over z
         return nll, pred, y
 
