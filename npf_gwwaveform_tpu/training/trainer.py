@@ -169,3 +169,34 @@ class Trainer:
         """Forward pass on an already-split batch; returns the NPFOutput."""
         out, _ = self._apply(state.params, state.extra_vars, batch, key, train=False)
         return out
+
+    # ------------------------------------------------------- scanned steps
+
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+    def train_steps_scanned(self, state: TrainState, xs, ys):
+        """Run MANY train steps in ONE dispatch via lax.scan over stacked
+        batches xs/ys [n_steps, B, ...]. This is the TPU-idiomatic epoch
+        loop: host->device launch latency is paid once per epoch instead of
+        once per step. Returns (state, losses [n_steps])."""
+
+        def body(state, xy):
+            x, y = xy
+            new_state, m = self._train_step(state, x, y)
+            return new_state, m["loss"]
+
+        return jax.lax.scan(body, state, (xs, ys))
+
+    @partial(jax.jit, static_argnums=(0, 2, 3), donate_argnums=(1,))
+    def train_steps_generated(self, state: TrainState, sample_fn, n_steps: int):
+        """Like train_steps_scanned but the batch comes from `sample_fn(key)
+        -> (x, y)` INSIDE the scan (fully on-device data generation) —
+        zero host involvement for n_steps steps."""
+
+        def body(state, k):
+            x, y = sample_fn(k)
+            new_state, m = self._train_step(state, x, y)
+            return new_state, m["loss"]
+
+        rng, k = jax.random.split(state.rng)
+        state = state.replace(rng=rng)
+        return jax.lax.scan(body, state, jax.random.split(k, n_steps))

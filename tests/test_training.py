@@ -143,3 +143,43 @@ def test_gw_cnp_end_to_end():
     for x, y in ds.epoch_batches(16):
         state, m = trainer.train_step(state, x, y)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_scanned_train_steps():
+    """One-dispatch epoch: scan over stacked batches must train identically
+    in spirit (finite, decreasing) to the per-step loop."""
+    ds = _gp_data(n=64, n_points=16)
+    model = CNP(y_dim=1, x_dim=1, r_dim=16)
+    tx = make_optimizer(lr=1e-3, decay_lr=None)
+    trainer = Trainer(model, CNPFLoss(), tx, splitter=_splitter())
+    x, y = next(ds.epoch_batches(16))
+    batch = _splitter()(jax.random.PRNGKey(0), x, y)
+    state = create_train_state(model, tx, batch, seed=0)
+
+    xs, ys = [], []
+    for _ in range(3):
+        for x, y in ds.epoch_batches(16):
+            xs.append(x)
+            ys.append(y)
+    xs = jnp.stack(xs)
+    ys = jnp.stack(ys)
+    state, losses = trainer.train_steps_scanned(state, xs, ys)
+    losses = np.asarray(losses)
+    assert losses.shape == (xs.shape[0],)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_generated_train_steps():
+    """Fully on-device loop: sampling inside the scan."""
+    sampler = GPSampler(kernel="rbf", length_scale=0.2, n_points=16)
+    model = CNP(y_dim=1, x_dim=1, r_dim=16)
+    tx = make_optimizer(lr=1e-3, decay_lr=None)
+    trainer = Trainer(model, CNPFLoss(), tx, splitter=_splitter())
+    x, y = sampler.sample(jax.random.PRNGKey(0), 16)
+    batch = _splitter()(jax.random.PRNGKey(0), x, y)
+    state = create_train_state(model, tx, batch, seed=0)
+
+    sample_fn = lambda k: sampler.sample(k, 16)
+    state, losses = trainer.train_steps_generated(state, sample_fn, 20)
+    assert np.isfinite(np.asarray(losses)).all()
