@@ -67,6 +67,7 @@ def main():
     tx = make_optimizer(
         lr=1e-3, decay_lr=10.0, max_epochs=args.epochs,
         steps_per_epoch=steps_per_epoch,
+        grad_clip_norm=1.0,  # batchnorm + tiny dataset oscillates unclipped
     )
     trainer = Trainer(model, criterion, tx, splitter=splitter)
 
