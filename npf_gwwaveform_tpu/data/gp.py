@@ -114,6 +114,19 @@ class GPSampler:
     def is_vary_kernel_hyp(self) -> bool:
         return self.kernel.startswith("variable")
 
+    def _periodic_fourier_coeffs(self, n_harmonics: int = 32) -> np.ndarray:
+        """EXACT spectral representation of ExpSineSquared: with
+        z = 1/l^2,  k(d) = e^{-z} [I_0(z) + 2 sum_m I_m(z) cos(2 pi m d/p)]
+        (Jacobi-Anger). Returns the harmonic variances a_m (sum = 1)."""
+        from scipy.special import ive
+
+        z = 1.0 / (self.length_scale**2)
+        m = np.arange(n_harmonics)
+        # ive = e^{-z} I_m(z), numerically stable for large z
+        a = ive(m, z)
+        a[1:] *= 2.0
+        return a.astype(np.float32)
+
     def _sample_one(self, key: jax.Array, min_max) -> Tuple[jax.Array, jax.Array]:
         kx, kl, ky = jax.random.split(key, 3)
         x = jnp.sort(
@@ -127,6 +140,19 @@ class GPSampler:
             ls = jax.random.uniform(kl, (), minval=lo, maxval=hi)
         else:
             ls = jnp.asarray(self.length_scale)
+
+        if self.kernel == "periodic":
+            # exact noise-free harmonic sampler (the periodic covariance is
+            # too ill-conditioned for f32 Cholesky at ANY usable jitter)
+            a = jnp.asarray(self._periodic_fourier_coeffs())
+            m = jnp.arange(a.shape[0], dtype=jnp.float32)
+            ang = 2.0 * jnp.pi * m[None, :] * x / self.periodicity  # [n, M]
+            kc, ks_ = jax.random.split(ky)
+            xi = jax.random.normal(kc, (a.shape[0],))
+            eta = jax.random.normal(ks_, (a.shape[0],))
+            sqrt_a = jnp.sqrt(a)
+            y = (jnp.cos(ang) @ (sqrt_a * xi) + jnp.sin(ang) @ (sqrt_a * eta))
+            return x, y[:, None]
         cov = self._cov(x, ls, jitter=0.0)
         # two-stage jittered Cholesky in full-f32 precision: the pure RBF
         # prior is near-singular and TPU's f32 factorization fails for rare
