@@ -115,9 +115,11 @@ def main():
     # throughput is independent of host/tunnel dispatch latency.
     def chunk_body(carry, chunk_key):
         state, best_v, best_params = carry
-        ks, kv = jax.random.split(chunk_key)
+        ks, _ = jax.random.split(chunk_key)
         state, losses = jax.lax.scan(one_step, state, jax.random.split(ks, inner))
-        v = jnp.mean(trainer._eval_step(state, xv, yv, kv))
+        # FIXED split key: valid losses are comparable across checks (else
+        # best-params selection just picks the luckiest context draw)
+        v = jnp.mean(trainer._eval_step(state, xv, yv, k_valid))
         better = v < best_v
         best_params = jax.tree.map(
             lambda b, p: jnp.where(better, p, b), best_params, state.params
