@@ -29,6 +29,7 @@ from ..utils.helpers import ratio_to_int
 
 __all__ = [
     "get_all_indcs",
+    "GetIndcsMerger",
     "get_range_indcs",
     "GetRandomIndcs",
     "CntxtTrgtSplitter",
@@ -57,6 +58,24 @@ def get_range_indcs(arange: Tuple[int, int]):
         return jnp.broadcast_to(mask[None], (batch_size, n_points))
 
     return sampler
+
+
+@dataclass(frozen=True)
+class GetIndcsMerger:
+    """Union of several mask samplers (ref GetIndcsMerger, datasplit.py:48-57
+    — index concatenation becomes mask union in the padded world)."""
+
+    samplers: tuple
+
+    def __call__(self, key, batch_size, n_points):
+        masks = [
+            s(k, batch_size, n_points)
+            for s, k in zip(self.samplers, jax.random.split(key, len(self.samplers)))
+        ]
+        out = masks[0]
+        for m in masks[1:]:
+            out = out | m
+        return out
 
 
 @dataclass(frozen=True)
