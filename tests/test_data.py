@@ -136,3 +136,28 @@ def test_gw_dataset_modes(gen):
         x3, y3, params = ds.get_samples(4)
         assert params.shape == (4, 4)
         assert np.abs(np.asarray(params)).max() <= 1.0 + 1e-6
+
+
+def test_periodic_harmonic_sampler_covariance(key):
+    """The exact Fourier-series periodic sampler must reproduce the analytic
+    ExpSineSquared covariance (f32 Cholesky of this kernel fails at any
+    usable jitter — the harmonic path is the only clean draw)."""
+    from npf_gwwaveform_tpu.data.gp import expsinesquared_cov
+
+    s = GPSampler(kernel="periodic", length_scale=0.5, periodicity=0.5, n_points=32)
+    # fixed grid draws for an empirical covariance
+    import jax.numpy as jnp
+
+    xg = jnp.linspace(-2, 2, 32)[:, None]
+    a = jnp.asarray(s._periodic_fourier_coeffs())
+    m = jnp.arange(a.shape[0], dtype=jnp.float32)
+    ang = 2 * jnp.pi * m[None, :] * xg / 0.5
+    ys = []
+    for k in jax.random.split(key, 3000):
+        kc, ks_ = jax.random.split(k)
+        xi = jax.random.normal(kc, (a.shape[0],))
+        eta = jax.random.normal(ks_, (a.shape[0],))
+        ys.append(jnp.cos(ang) @ (jnp.sqrt(a) * xi) + jnp.sin(ang) @ (jnp.sqrt(a) * eta))
+    emp = np.cov(np.asarray(jnp.stack(ys)).T)
+    ana = np.asarray(expsinesquared_cov(xg, 0.5, 0.5))
+    assert np.abs(emp - ana).max() < 0.12  # MC noise at 3000 draws
