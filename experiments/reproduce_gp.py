@@ -197,6 +197,11 @@ def main():
     run_dir = os.path.join(args.out, args.kernel, args.model, "run_0")
     os.makedirs(run_dir, exist_ok=True)
     np.savetxt(os.path.join(run_dir, "eval.csv"), lls, delimiter=",")
+    # persist best params (reference layout keeps params.pt; ours msgpack)
+    import flax.serialization
+
+    with open(os.path.join(run_dir, "params.msgpack"), "wb") as f:
+        f.write(flax.serialization.to_bytes(jax.device_get(state.params)))
     summary = {
         "model": args.model,
         "kernel": args.kernel,
