@@ -112,32 +112,42 @@ def npml_loss(out: NPFOutput, y_trgt, mask_trgt=None, use_iw: bool = True) -> ja
     return -(log_s - math.log(n_z))
 
 
-def light_tail_pareto_inv_weights(max_n: int, a: int = 5, m: int = 85) -> np.ndarray:
-    """P(K >= k) for the reference's LightTailPareto(a).freeze(m) truncation
-    distribution (npf/utils/helpers.py:36-52): uniform mass on {m..m+a-1}?
-    No — the reference uses scipy pareto with light tail: P(K >= k) = 1 for
-    k <= m, then (m / k)^a style decay clipped so the tail is summable.
+def light_tail_pareto_inv_weights(
+    max_n: int, m: int = 5, alpha: int = 85
+) -> np.ndarray:
+    """Reverse-CDF P(K >= k), k = 1..max_n, of the reference's
+    `LightTailPareto(a=m).freeze(alpha)` sample-count distribution
+    (/root/reference/npf/utils/helpers.py:35-51). In the reference, `a=5` is
+    the rv_discrete support lower bound (m = minimum samples) and the frozen
+    85 is the shape parameter alpha. Its CDF evaluates, with
+    kk = clip(k - m, 1) and alpha' = alpha - m:
 
-    We reproduce the reverse-CDF the SUMO loss needs: inv_weights[k] =
-    1 - CDF(k-1) for k = 1..max_n, with support starting at m.
+        P(K >= k) = 1/kk           for kk < alpha'   (so 1 for k <= m+1)
+                  = (1/alpha') * 0.9**(kk - alpha')   otherwise
+
+    i.e. a 1/k pmf made summable by a geometric(0.9) tail past alpha'.
+    Verified numerically against the torch implementation:
+    sf(1..9) = [1, 1, 1, 1, 1, 1, 1/2, 1/3, 1/4].
     """
     ks = np.arange(1, max_n + 1, dtype=np.float64)
-    # pareto survival with scale m, shape a, support [m, inf)
-    sf = np.where(ks < m, 1.0, (m / np.maximum(ks, m)) ** a)
-    return sf
+    kk = np.clip(ks - m, 1.0, None)
+    ap = float(alpha - m)
+    return np.where(kk < ap, 1.0 / kk, (1.0 / ap) * 0.9 ** (kk - ap))
 
 
 def sumo_loss(
     out: NPFOutput,
     y_trgt,
     mask_trgt=None,
-    m_min: int = 85,
-    pareto_a: int = 5,
+    m: int = 5,
+    alpha: int = 85,
 ) -> jax.Array:
     """SUMO unbiased log-marginal estimator (ref losses.py:207-276) via
-    Russian-roulette telescoping of the IWAE sequence. The number of drawn z
-    samples n_z = out.p_yCc.loc.shape[0] must exceed `m_min`."""
+    Russian-roulette telescoping of the IWAE sequence: the correction series
+    starts at cum_iwae[m-1] with m = support lower bound (5 in the reference,
+    NOT 85 — 85 is the tail shape). Requires n_z > m drawn z samples."""
     n_z = out.p_yCc.loc.shape[0]
+    assert n_z > m, f"SUMO needs n_z > m ({n_z} <= {m})"
     sum_log_p = sum_log_prob_masked(out.p_yCc, y_trgt, mask_trgt)  # [n_z, B]
 
     if out.q_zCct is not None:
@@ -151,10 +161,9 @@ def sumo_loss(
     cum_iwae = logcumsumexp(sum_log_w, axis=0) - log_ks  # [n_z, B]
 
     inv_w = jnp.asarray(
-        light_tail_pareto_inv_weights(n_z, a=pareto_a, m=m_min), dtype=jnp.float32
+        light_tail_pareto_inv_weights(n_z, m=m, alpha=alpha), dtype=jnp.float32
     )[:, None]
 
-    m = m_min
     sumo = cum_iwae[m - 1] + jnp.sum(
         inv_w[m:] * (cum_iwae[m:] - cum_iwae[m - 1 : -1]), axis=0
     )
@@ -216,8 +225,11 @@ class NLLLossLNPF(BaseLossNPF):
 
 @dataclass(frozen=True)
 class SUMOLossLNPF(BaseLossNPF):
-    m_min: int = 85
-    pareto_a: int = 5
+    """m: minimum sample count (reference LightTailPareto a=5);
+    alpha: tail shape of the frozen distribution (reference .freeze(85))."""
+
+    m: int = 5
+    alpha: int = 85
 
     def get_loss(self, out, y_trgt, mask_trgt):
-        return sumo_loss(out, y_trgt, mask_trgt, self.m_min, self.pareto_a)
+        return sumo_loss(out, y_trgt, mask_trgt, self.m, self.alpha)

@@ -191,7 +191,6 @@ def _train_single(
 
     history = []
     best_valid = np.inf
-    best_state = state
     bad_epochs = 0
 
     for epoch in range(max_epochs):
@@ -218,13 +217,11 @@ def _train_single(
             record["valid_loss"] = valid_loss
             if valid_loss < best_valid:
                 best_valid = valid_loss
-                best_state = state
                 bad_epochs = 0
                 save_state(state, run_dir)
             else:
                 bad_epochs += 1
         else:
-            best_state = state
             save_state(state, run_dir)
 
         history.append(record)
@@ -240,5 +237,12 @@ def _train_single(
         if patience is not None and bad_epochs >= patience:
             break
 
-    # reload best checkpoint before eval (reference train.py:270-271)
-    return trainer, best_state
+    # Reload the best checkpoint before eval (reference train.py:270-271).
+    # A host-side python reference to an earlier epoch's state would dangle:
+    # Trainer.train_step donates its input state (donate_argnums=(0,)), so
+    # those buffers are freed by the next epoch's first step. The on-disk
+    # best-valid checkpoint is the durable copy — load it into the (live)
+    # final state's structure.
+    if has_checkpoint(run_dir):
+        state = load_state(state, run_dir)
+    return trainer, state

@@ -109,14 +109,40 @@ def test_npml_importance_sampling_training():
     assert np.isfinite(float(m["loss"]))
 
 
+def test_sumo_inv_weights_match_reference():
+    """The survival function P(K >= k) must match the reference's
+    LightTailPareto(a=5).freeze(85) exactly (npf/utils/helpers.py:35-51):
+    reverse-CDF = 1 - cdf(k-1), support lower bound m=5, tail shape 85."""
+    import sys
+
+    import pytest
+
+    from npf_gwwaveform_tpu.losses import light_tail_pareto_inv_weights
+
+    ours = light_tail_pareto_inv_weights(120, m=5, alpha=85)
+    # hand-pinned values from the reference formula: sf=1 through k=m+1,
+    # then 1/(k-m), then the 0.9-geometric tail past alpha-m
+    np.testing.assert_allclose(ours[:9], [1, 1, 1, 1, 1, 1, 1 / 2, 1 / 3, 1 / 4])
+    np.testing.assert_allclose(ours[84], 1 / 80)  # k=85, kk=80 = alpha' boundary
+    np.testing.assert_allclose(ours[100], (1 / 80) * 0.9 ** (96 - 80))
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        helpers = pytest.importorskip("npf.utils.helpers")
+    finally:
+        sys.path.remove("/root/reference")
+    dist = helpers.LightTailPareto(a=5).freeze(85)
+    ks = np.arange(1, 121)[:, None]
+    ref = (1 - dist.cdf(ks - 1)).squeeze(-1)
+    np.testing.assert_allclose(ours, ref, rtol=1e-12)
+
+
 def test_sumo_training():
-    """SUMO Russian-roulette estimator with n_z > m_min (losses.py:207-276)."""
+    """SUMO Russian-roulette estimator with n_z > m=5 (losses.py:207-276)."""
     ds = _tiny_gp()
     model = LNP(y_dim=1, x_dim=1, r_dim=16, n_z_samples_train=96)
     tx = make_optimizer(lr=1e-3, decay_lr=None)
-    trainer = Trainer(
-        model, SUMOLossLNPF(m_min=85, pareto_a=5), tx, splitter=_splitter(b=8)
-    )
+    trainer = Trainer(model, SUMOLossLNPF(), tx, splitter=_splitter(b=8))
     x, y = next(ds.epoch_batches(8))
     batch = _splitter(b=8)(jax.random.PRNGKey(0), x, y)
     state = create_train_state(model, tx, batch, seed=0)
