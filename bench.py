@@ -1,20 +1,23 @@
 """Benchmark: NP training throughput in waveforms/sec/chip (the north-star
-metric of BASELINE.json).
+metric of BASELINE.json), plus MFU accounting.
 
 Workload: the flagship GW config — ConvCNP (r_dim=128, 5 ResConvBlocks k=19,
 induced grid 192 @ density 64) regressing IMRPhenomD-style h+(t) with 256
-points/waveform, CNPF loss, batch 32, fresh on-device waveform batches every
-step. One fused jitted step = waveform generation + context/target split +
-forward + loss + Adam update.
+points/waveform, CNPF loss, fresh on-device waveform batches every step. One
+fused jitted step = waveform generation + context/target split + forward +
+loss + Adam update; 50 steps run per dispatch via lax.scan.
 
 vs_baseline: the reference records ~150 functions/s for its closest measured
 1-D conv-family training row (ConvLNP NPML, 50k fns/epoch, batch 16, GPU —
 BASELINE.md throughput table); the reference-CPU number the north star
 references is strictly lower, so this denominator is conservative.
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Default: prints ONE json line {"metric", "value", "unit", "vs_baseline"}.
+`--detail`: additionally writes BENCH_DETAIL.json with the XLA-vs-Pallas
+SetConv A/B, a batch-size sweep, and FLOPs/MFU per config.
 """
 
+import argparse
 import json
 import time
 
@@ -23,8 +26,30 @@ import jax.numpy as jnp
 
 BASELINE_FNS_PER_SEC = 150.0
 
+# bf16 peak matmul throughput per chip, FLOP/s (public spec sheets)
+PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6e": 918e12,
+    "TPU v6 lite": 918e12,
+}
 
-def main():
+
+def _peak_flops():
+    kind = jax.devices()[0].device_kind
+    for k, v in PEAK_FLOPS.items():
+        if kind.lower().startswith(k.lower()):
+            return v, kind
+    return None, kind
+
+
+def measure(batch_size=32, n_points=256, use_pallas=False, n_inner=50, n_chunks=4):
+    """Train-throughput measurement of the flagship config. Returns a dict
+    with waveforms/sec/chip, per-step FLOPs (XLA cost analysis of the
+    compiled 50-step program / 50), and MFU when the chip's peak is known."""
     from npf_gwwaveform_tpu import ConvCNP
     from npf_gwwaveform_tpu.data import (
         CntxtTrgtSplitter,
@@ -35,9 +60,6 @@ def main():
     )
     from npf_gwwaveform_tpu.losses import CNPFLoss
     from npf_gwwaveform_tpu.training import Trainer, create_train_state, make_optimizer
-
-    batch_size = 32
-    n_points = 256
 
     gen = GWWaveformGenerator(duration=1.0, sample_rate=1024.0)
     space = GWParameterSpace()
@@ -51,6 +73,7 @@ def main():
         cnn_n_blocks=5,
         cnn_kernel_size=19,
         dtype=jnp.bfloat16,
+        use_pallas_setconv=use_pallas,
     )
     splitter = CntxtTrgtSplitter(
         contexts_getter=GetRandomIndcs(a=0.0, b=64), targets_getter=get_all_indcs
@@ -61,7 +84,6 @@ def main():
     stride = gen.n_time // n_points
     x_grid = jnp.linspace(-1.0, 1.0, n_points)
 
-    @jax.jit
     def make_batch(key):
         theta = space.sample(key, batch_size)
         _, h = gen.time_domain(theta)
@@ -70,50 +92,85 @@ def main():
         return x, h[..., None]
 
     key = jax.random.PRNGKey(0)
-    x, y = make_batch(key)
+    x, y = jax.jit(make_batch)(key)
     ex_batch = splitter(key, x, y)
     state = create_train_state(model, tx, ex_batch, seed=0)
 
-    # fused step: fresh waveforms + split + forward + loss + update, and
-    # SCAN many steps per dispatch so host->TPU launch latency is amortized
-    # (the training loop equivalent runs epochs the same way)
     def one_step(state, key):
         x, y = make_batch(key)
         new_state, m = trainer._train_step(state, x, y)
         return new_state, m["loss"]
-
-    n_inner = 50
 
     @jax.jit
     def run_chunk(state, key):
         keys = jax.random.split(key, n_inner)
         return jax.lax.scan(one_step, state, keys)
 
-    # warmup / compile
-    state, losses = run_chunk(state, key)
+    # FLOPs of the ENTIRE compiled 50-step program (datagen + split +
+    # fwd/bwd + Adam) from XLA's own cost model
+    compiled = run_chunk.lower(state, key).compile()
+    try:
+        flops_chunk = float(compiled.cost_analysis()["flops"])
+    except Exception:
+        flops_chunk = float("nan")
+
+    state, losses = run_chunk(state, key)  # warmup/compile
     jax.block_until_ready(losses)
 
-    n_chunks = 4
     t0 = time.perf_counter()
     for i in range(n_chunks):
         state, losses = run_chunk(state, jax.random.PRNGKey(2 + i))
     jax.block_until_ready(losses)
     dt = time.perf_counter() - t0
 
-    waveforms_per_sec = n_chunks * n_inner * batch_size / dt
     n_chips = max(1, len(jax.devices()))
-    value = waveforms_per_sec / n_chips
+    wf_per_sec = n_chunks * n_inner * batch_size / dt / n_chips
+    flops_per_sec = flops_chunk * n_chunks / dt / n_chips
+    peak, kind = _peak_flops()
+    out = {
+        "batch_size": batch_size,
+        "use_pallas_setconv": use_pallas,
+        "waveforms_per_sec_per_chip": round(wf_per_sec, 2),
+        "flops_per_step": flops_chunk / n_inner,
+        "tflops_per_sec": round(flops_per_sec / 1e12, 2),
+        "device_kind": kind,
+    }
+    if peak and flops_chunk == flops_chunk:
+        out["mfu"] = round(flops_per_sec / peak, 4)
+    return out
 
-    print(
-        json.dumps(
-            {
-                "metric": "gw_convcnp_train_throughput",
-                "value": round(value, 2),
-                "unit": "waveforms/sec/chip",
-                "vs_baseline": round(value / BASELINE_FNS_PER_SEC, 2),
-            }
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--detail", action="store_true",
+                    help="write BENCH_DETAIL.json with pallas A/B + batch sweep")
+    ap.add_argument("--batch", type=int, default=32)
+    args = ap.parse_args()
+
+    if args.detail:
+        detail = {"flagship": None, "sweep": []}
+        for bs in (32, 64, 128, 256):
+            for use_pallas in (False, True):
+                r = measure(batch_size=bs, use_pallas=use_pallas)
+                detail["sweep"].append(r)
+                print(json.dumps(r), flush=True)
+        detail["flagship"] = max(
+            detail["sweep"], key=lambda r: r["waveforms_per_sec_per_chip"]
         )
-    )
+        with open("BENCH_DETAIL.json", "w") as f:
+            json.dump(detail, f, indent=2)
+        return
+
+    r = measure(batch_size=args.batch)
+    line = {
+        "metric": "gw_convcnp_train_throughput",
+        "value": r["waveforms_per_sec_per_chip"],
+        "unit": "waveforms/sec/chip",
+        "vs_baseline": round(r["waveforms_per_sec_per_chip"] / BASELINE_FNS_PER_SEC, 2),
+    }
+    if "mfu" in r:
+        line["mfu"] = r["mfu"]
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--n-context", type=int, default=64)
     ap.add_argument("--n-test", type=int, default=2048)
     ap.add_argument("--cond", action="store_true", help="condition on mass/spin")
+    ap.add_argument(
+        "--cond-mode", default="add", choices=["add", "film"],
+        help="add: global embedding added to R; film: per-position "
+        "modulation of the induced grid before the CNN (ConvCNP family)",
+    )
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--out", default="results/")
     args = ap.parse_args()
@@ -59,7 +64,11 @@ def main():
 
     dtype = jnp.bfloat16 if args.bf16 else None
     model = build_model(args.model, dtype=dtype)
-    model = model.clone(y_dim=y_dim, cond_dim=4 if args.cond else 0)
+    model = model.clone(
+        y_dim=y_dim,
+        cond_dim=4 if args.cond else 0,
+        cond_mode=args.cond_mode,
+    )
     criterion = criterion_for(args.model)
     splitter = CntxtTrgtSplitter(
         contexts_getter=GetRandomIndcs(a=0.0, b=args.n_context),
@@ -156,6 +165,7 @@ def main():
         "model": args.model,
         "mode": args.mode,
         "conditioned": bool(args.cond),
+        "cond_mode": args.cond_mode if args.cond else None,
         "steps": args.steps,
         "train_wf_per_sec": args.steps * args.batch / train_time,
         "test_nll_per_wf": float(nlls.mean()),
@@ -167,7 +177,9 @@ def main():
         summary["mismatch_mean"] = float(mm.mean())
         summary["mismatch_p90"] = float(np.percentile(mm, 90))
 
-    tag = f"GW_{args.mode}" + ("_cond" if args.cond else "")
+    tag = f"GW_{args.mode}" + (
+        ("_cond" if args.cond_mode == "add" else "_cond_film") if args.cond else ""
+    )
     run_dir = os.path.join(args.out, tag, args.model, "run_0")
     os.makedirs(run_dir, exist_ok=True)
     np.savetxt(os.path.join(run_dir, "eval.csv"), -nlls, delimiter=",")

@@ -31,7 +31,13 @@ import numpy as np
 
 from ..utils.helpers import rescale_range
 
-__all__ = ["GPSampler", "GPDataset", "DatasetMerger", "get_gp_datasets"]
+__all__ = [
+    "GPSampler",
+    "MixtureGPSampler",
+    "GPDataset",
+    "DatasetMerger",
+    "get_gp_datasets",
+]
 
 
 # --------------------------------------------------------------- kernels
@@ -217,6 +223,53 @@ class GPSampler:
         x, y = jax.vmap(lambda k: self._sample_one(k, mm))(keys)
         # rescale by the TRAIN range so eval on a wider range gives |x|>1
         # (extrapolation), matching ref _postprocessing_features + test_min_max
+        x = rescale_range(x, self.min_max, (-1.0, 1.0))
+        return x, y
+
+
+@dataclass(frozen=True)
+class MixtureGPSampler:
+    """Uniform mixture over several GPSamplers — the on-device equivalent of
+    the reference's All_Kernels DatasetMerger training stream
+    (ntbks_helpers.py:118-126: RBF + Periodic + Noisy-Matern merged so one
+    epoch interleaves all kernels). Each sampled function draws its kernel id
+    uniformly; under vmap the `lax.switch` evaluates every branch and selects,
+    which is fine on TPU (3 tiny covariance builds, one Cholesky each).
+
+    For EVAL, match DatasetMerger's concatenation instead: evaluate each
+    component's fixed test chunk separately and concatenate the rows
+    (`components` is exposed for that)."""
+
+    components: Tuple[GPSampler, ...]
+
+    @property
+    def n_points(self) -> int:
+        return self.components[0].n_points
+
+    @property
+    def min_max(self):
+        return self.components[0].min_max
+
+    @partial(jax.jit, static_argnames=("self", "n_samples", "min_max"))
+    def sample(
+        self,
+        key: jax.Array,
+        n_samples: int,
+        min_max: Optional[Tuple[float, float]] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        kid_key, key = jax.random.split(key)
+        kids = jax.random.randint(kid_key, (n_samples,), 0, len(self.components))
+        keys = jax.random.split(key, n_samples)
+
+        branches = [
+            (lambda k, s=s: s._sample_one(k, s.min_max if min_max is None else min_max))
+            for s in self.components
+        ]
+
+        def one(kid, k):
+            return jax.lax.switch(kid, branches, k)
+
+        x, y = jax.vmap(one)(kids, keys)
         x = rescale_range(x, self.min_max, (-1.0, 1.0))
         return x, y
 

@@ -105,41 +105,69 @@ class DigitsDataset(GridImageDataset):
 
 
 class ZeroShotMultiDigits(GridImageDataset):
-    """Zero-shot extrapolation construction (ref imgs.py:191-394):
+    """Faithful reproduction of the reference's `zsmms`
+    (ZeroShotMultiMNISTscale, imgs.py:376-394 + 191-373) on the offline
+    digits corpus:
 
-    train=True  -> one digit centred on a padded canvas [H+pad, W+pad];
-    train=False -> TWO digits independently translated on the same canvas,
-                   testing generalization to unseen spatial layouts.
+    train=True  -> ONE digit randomly translated on a canvas slightly larger
+                   than the digit (the reference random-crops 28px MNIST to
+                   32px with padding 5; here 16px digits on a 20px canvas,
+                   same +25% headroom);
+    train=False -> TWO digits on a canvas of side 2x the digit (56px there,
+                   32px here), built with the reference's strip scheme
+                   (make_multi_mnist_test, imgs.py:310-355): each digit is
+                   shifted uniformly along one "varying" axis inside a
+                   digit-height strip, the two strips are concatenated along
+                   the other axis; half the test set varies axis 0, half
+                   axis 1.
+
+    The test canvas is LARGER than the train canvas — the zero-shot
+    extrapolation that only translation-equivariant models survive
+    (BASELINE.md zsmms row: ConvCNP 1253 vs CNP -58552).
     """
 
     def __init__(
         self,
         train: bool = True,
         upscale: int = 2,
-        pad: int = 16,
-        n_test: int = 512,
-        seed: int = 0,
+        n_test: int = 1024,
+        seed: int = 123,
     ):
         imgs, _ = _load_sklearn_digits(upscale)
         n, h, w, _ = imgs.shape
-        H, W = h + pad, w + pad
-        rng = np.random.default_rng(42)
+        rng = np.random.default_rng(seed)
         if train:
+            H = W = h + h // 4  # 20 for 16px digits (≈ 32/28 of MNIST)
             canvas = np.zeros((n, H, W, 1), np.float32)
-            top, left = pad // 2, pad // 2
-            canvas[:, top : top + h, left : left + w] = imgs
+            tops = rng.integers(0, H - h + 1, n)
+            lefts = rng.integers(0, W - w + 1, n)
+            for i in range(n):
+                canvas[i, tops[i] : tops[i] + h, lefts[i] : lefts[i] + w] = imgs[i]
         else:
-            canvas = np.zeros((n_test, H, W, 1), np.float32)
+            F = 2 * h  # final canvas side
+            canvas = np.zeros((n_test, F, F, 1), np.float32)
+            axes = rng.permutation(np.arange(n_test) % 2)
             for i in range(n_test):
+                ax = axes[i]
+                strips = []
                 for _ in range(2):
+                    strip_shape = (F, w) if ax == 0 else (h, F)
+                    strip = np.zeros(strip_shape, np.float32)
+                    shift = rng.integers(0, F - (h if ax == 0 else w) + 1)
                     j = rng.integers(n)
-                    top = rng.integers(0, H - h + 1)
-                    left = rng.integers(0, W - w + 1)
-                    canvas[i, top : top + h, left : left + w, 0] = np.maximum(
-                        canvas[i, top : top + h, left : left + w, 0],
-                        imgs[j, ..., 0],
-                    )
+                    if ax == 0:
+                        strip[shift : shift + h, :] = imgs[j, ..., 0]
+                    else:
+                        strip[:, shift : shift + w] = imgs[j, ..., 0]
+                    strips.append(strip)
+                canvas[i, ..., 0] = np.concatenate(strips, axis=1 - ax)
         super().__init__(canvas, seed=seed)
+
+    @property
+    def test_upscale_factor(self) -> float:
+        """Coordinate-range ratio test/train canvas (ref
+        get_test_upscale_factor: 56/32 = 1.75 for zsmms; 32/20 = 1.6 here)."""
+        return 32.0 / 20.0
 
 
 class SingleImage(GridImageDataset):

@@ -59,7 +59,7 @@ class AttnCNP(CNP):
             **(self.attention_kwargs or {}),
         )
 
-    def encode_globally(self, x_c, y_c, mask_cntxt, train=True):
+    def encode_globally(self, x_c, y_c, mask_cntxt, train=True, cond_emb=None):
         # one representation PER context point (no pooling), zeroed at padding
         R_cntxt = self.xy_encoder(x_c, y_c)  # [B, Nc, r_dim]
         return R_cntxt * mask_cntxt[..., None].astype(R_cntxt.dtype)

@@ -56,9 +56,17 @@ class NeuralProcessFamily(nn.Module):
     max_lat_sigma_ratio: float = 0.9
     # ---- optional conditioning on global physical parameters (e.g. GW
     # mass/spin, BASELINE.json config 5). 0 disables. When set, __call__
-    # accepts `condition [B, cond_dim]`, embedded and added to every global
-    # representation entry (and thereby to the latent path input).
+    # accepts `condition [B, cond_dim]`. Two modes:
+    #   "add":  embed and add one global vector to every representation entry
+    #           (a pure bias after the encoder).
+    #   "film": per-position modulation of the induced-grid representation
+    #           BEFORE the translation CNN — channelwise gamma plus an
+    #           additive field MLP(sinusoidal(grid position), embedding) —
+    #           so the conditioning can carry position-dependent structure
+    #           (e.g. a chirp's phase evolution). Supported by the ConvCNP
+    #           family; other models raise.
     cond_dim: int = 0
+    cond_mode: str = "add"
     dtype: Optional[jnp.dtype] = None
 
     # ------------------------------------------------------------- plumbing
@@ -139,6 +147,13 @@ class NeuralProcessFamily(nn.Module):
                 )
 
         if self.cond_dim > 0:
+            if self.cond_mode not in ("add", "film"):
+                raise ValueError(f"Unknown cond_mode={self.cond_mode}")
+            if self.cond_mode == "film" and not self._supports_film:
+                raise ValueError(
+                    f"{type(self).__name__} does not support cond_mode='film' "
+                    "(only the ConvCNP family has an induced grid to modulate)"
+                )
             self.cond_encoder = MLP(
                 self.r_dim,
                 n_hidden_layers=1,
@@ -174,18 +189,25 @@ class NeuralProcessFamily(nn.Module):
         x_c = self.x_encoder(x_cntxt)
         x_t = self.x_encoder(x_trgt)
 
-        # size = [B, *n_rep, r_dim]
-        R = self.encode_globally(x_c, y_cntxt, mask_cntxt, train=train)
-
+        cond_emb = None
         if self.cond_dim > 0:
             if condition is None:
                 raise ValueError("cond_dim > 0 requires a `condition` input")
-            emb = self.cond_encoder(condition)  # [B, r_dim]
-            R = R + emb.reshape(emb.shape[0], *([1] * (R.ndim - 2)), emb.shape[-1])
+            cond_emb = self.cond_encoder(condition)  # [B, r_dim]
+
+        # size = [B, *n_rep, r_dim]
+        R = self.encode_globally(
+            x_c, y_cntxt, mask_cntxt, train=train, cond_emb=cond_emb
+        )
+
+        if cond_emb is not None and self.cond_mode == "add":
+            R = R + cond_emb.reshape(
+                cond_emb.shape[0], *([1] * (R.ndim - 2)), cond_emb.shape[-1]
+            )
 
         if self.has_latent:
             z_samples, q_zCc, q_zCct = self.latent_path(
-                x_c, R, x_t, y_trgt, mask_cntxt, mask_trgt, train
+                x_c, R, x_t, y_trgt, mask_cntxt, mask_trgt, train, cond_emb=cond_emb
             )
         else:
             z_samples, q_zCc, q_zCct = None, None, None
@@ -206,12 +228,16 @@ class NeuralProcessFamily(nn.Module):
     def _n_z_samples(self, train: bool) -> int:
         return self.n_z_samples_train if train else self.n_z_samples_test
 
-    def latent_path(self, x_c, R, x_t, y_trgt, mask_cntxt, mask_trgt, train):
+    def latent_path(
+        self, x_c, R, x_t, y_trgt, mask_cntxt, mask_trgt, train, cond_emb=None
+    ):
         """(reference base.py:495-514)"""
         q_zCc = self.infer_latent_dist(R, mask_cntxt)
 
         if self.is_q_zCct and y_trgt is not None:
-            R_from_trgt = self.encode_globally(x_t, y_trgt, mask_trgt, train=train)
+            R_from_trgt = self.encode_globally(
+                x_t, y_trgt, mask_trgt, train=train, cond_emb=cond_emb
+            )
             q_zCct = self.infer_latent_dist(R_from_trgt, mask_trgt)
             sampling_dist = q_zCct
         else:
@@ -269,7 +295,11 @@ class NeuralProcessFamily(nn.Module):
 
     # ------------------------------------------------------------- abstract
 
-    def encode_globally(self, x_c, y_c, mask_cntxt, train=True):
+    # whether the subclass consumes cond_emb inside encode_globally for
+    # cond_mode="film" (ConvCNP family only)
+    _supports_film: bool = False
+
+    def encode_globally(self, x_c, y_c, mask_cntxt, train=True, cond_emb=None):
         raise NotImplementedError
 
     def trgt_dependent_representation(self, x_c, z_samples, R, x_t, mask_cntxt, train=True):

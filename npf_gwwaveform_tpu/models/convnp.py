@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.cnn import CNN, ResConvBlock
-from ..ops.encoders import discard_ith_arg
+from ..ops.encoders import SinusoidalEncodings, discard_ith_arg
+from ..ops.mlp import MLP
 from ..ops.setconv import ExpRBF, SetConv
 from ..utils.helpers import (
     collapse_z_samples_batch,
@@ -91,10 +92,45 @@ class ConvCNP(NeuralProcessFamily):
             name=name,
         )
 
+    _supports_film: bool = True
+    cond_pos_feats: int = 64  # sinusoidal feature width for the FiLM field
+
     def _setup_extra(self):
         self.cntxt_to_induced = self._make_interpolator(self.r_dim, "cntxt_to_induced")
         self.induced_to_induced = self._make_cnn("induced_to_induced")
         self.induced_to_trgt = self._make_interpolator(self.r_dim, "induced_to_trgt")
+        if self.cond_dim > 0 and self.cond_mode == "film":
+            # per-position conditioning on the induced grid (base.py docs):
+            # channelwise gamma from the embedding + an additive field that
+            # sees (sinusoidal grid position, embedding) per grid point, both
+            # applied BEFORE induced_to_induced so the CNN can propagate
+            # position-dependent structure (e.g. the chirp phase evolution)
+            self.cond_gamma = nn.Dense(self.r_dim, dtype=self.dtype, name="cond_gamma")
+            self.cond_pos_enc = SinusoidalEncodings(
+                self.cond_pos_feats, name="cond_pos_enc"
+            )
+            self.cond_field = MLP(
+                self.r_dim,
+                n_hidden_layers=2,
+                hidden_size=self.r_dim,
+                dtype=self.dtype,
+                name="cond_field",
+            )
+
+    def _film(self, R_induced, cond_emb):
+        """R_induced [B, n_ind, r_dim], cond_emb [B, r_dim]."""
+        B = R_induced.shape[0]
+        x_induced = self._get_x_induced(B)  # [B, n_ind, x_dim] in grid units
+        # rescale to [-1, 1] for the sinusoidal features
+        lo, hi = self.induced_range
+        pos = (x_induced - lo) * (2.0 / (hi - lo)) - 1.0
+        feats = self.cond_pos_enc(pos)  # [B, n_ind, cond_pos_feats]
+        emb = jnp.broadcast_to(
+            cond_emb[:, None, :], (B, self.n_induced, cond_emb.shape[-1])
+        )
+        field = self.cond_field(jnp.concatenate([feats, emb], axis=-1))
+        gamma = self.cond_gamma(cond_emb)[:, None, :]
+        return R_induced * (1.0 + gamma) + field
 
     def _get_x_induced(self, batch_size: int) -> jax.Array:
         lo, hi = self.induced_range
@@ -103,11 +139,13 @@ class ConvCNP(NeuralProcessFamily):
             grid[None, :, None], (batch_size, self.n_induced, self.x_dim)
         )
 
-    def encode_globally(self, x_c, y_c, mask_cntxt, train=True):
+    def encode_globally(self, x_c, y_c, mask_cntxt, train=True, cond_emb=None):
         B = x_c.shape[0]
         x_induced = self._get_x_induced(B)
         # empty context -> zero signal + zero density, naturally via the mask
         R_induced = self.cntxt_to_induced(x_c, x_induced, y_c, mask_keys=mask_cntxt)
+        if cond_emb is not None and self.cond_mode == "film":
+            R_induced = self._film(R_induced, cond_emb)
         R_induced = self.induced_to_induced(R_induced, train=train)
         return R_induced
 

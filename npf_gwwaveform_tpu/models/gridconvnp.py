@@ -77,7 +77,7 @@ class GridConvCNP(ConvCNP):
         out = jnp.concatenate([out, density], axis=-1)  # [B, *grid, 2*y_dim]
         return self.resizer(out)  # [B, *grid, r_dim]
 
-    def encode_globally(self, x_c, y_c, mask_cntxt, train=True):
+    def encode_globally(self, x_c, y_c, mask_cntxt, train=True, cond_emb=None):
         R_induced = self.cntxt_to_induced(x_c, y_c)
         return self.induced_to_induced(R_induced, train=train)
 

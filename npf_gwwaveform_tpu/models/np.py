@@ -51,7 +51,7 @@ class CNP(NeuralProcessFamily):
             else self._default_xy_encoder()
         )
 
-    def encode_globally(self, x_c, y_c, mask_cntxt, train=True):
+    def encode_globally(self, x_c, y_c, mask_cntxt, train=True, cond_emb=None):
         # per-point reps [B, Nc, r_dim]
         R_cntxt = self.xy_encoder(x_c, y_c)
         # masked mean-pool -> [B, 1, r_dim]

@@ -17,6 +17,7 @@ from .cnn import (
     DepthSepConv,
     GaussianConv2d,
     ResConvBlock,
+    ResNormalizedConvBlock,
     UnetCNN,
 )
 
@@ -39,6 +40,7 @@ __all__ = [
     "AbsConv",
     "ConvBlock",
     "ResConvBlock",
+    "ResNormalizedConvBlock",
     "DepthSepConv",
     "GaussianConv2d",
 ]

@@ -149,6 +149,92 @@ class ResConvBlock(nn.Module):
         )(out)
 
 
+class ResNormalizedConvBlock(nn.Module):
+    """Residual block with NORMALIZED convolutions (Knutsson & Westin 1993),
+    parity with reference cnn.py:218-304: the input carries 2*C channels —
+    first half signal, second half confidence in [0,1]. The signal path is
+    divided by a confidence "density" (the same convs applied to confidence),
+    the confidence is monotonically increased through a learned
+    sigmoid(density * softplus(temperature) + bias), and both halves go
+    through the shared pointwise conv. No normalization layers by design
+    (the reference forces Normalization=Identity).
+
+    Output: 2*out_chan channels ([signal', confidence']).
+    """
+
+    out_chan: int
+    kernel_size: int = 5
+    activation: Callable = nn.relu
+    is_bias: bool = True
+    padding: str = "SAME"
+    norm: Optional[str] = None  # accepted for CNN compat; must be None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        if self.norm not in (None, "identity"):
+            raise ValueError("ResNormalizedConvBlock forbids normalization")
+        if self.kernel_size % 2 == 0:
+            raise ValueError(f"kernel_size={self.kernel_size} must be odd")
+        n_spatial = x.ndim - 2
+        in_chan = x.shape[-1] // 2
+
+        signal, conf_1 = jnp.split(x, 2, axis=-1)
+        # confidence must stay in [0,1] (may drift via pointwise transforms)
+        conf_1 = jnp.clip(conf_1, 0.0, 1.0)
+        x_s = signal * conf_1
+
+        conv1 = DepthSepConv(
+            in_chan,
+            self.kernel_size,
+            use_bias=self.is_bias,
+            padding=self.padding,
+            dtype=self.dtype,
+            name="conv1",
+        )
+        conv2_depthwise = nn.Conv(
+            in_chan,
+            kernel_size=(self.kernel_size,) * n_spatial,
+            padding=self.padding,
+            feature_group_count=in_chan,
+            use_bias=self.is_bias,
+            kernel_init=winit.kaiming_normal_fanout,
+            dtype=self.dtype,
+            name="conv2_depthwise",
+        )
+        conv2_pointwise = nn.Conv(
+            self.out_chan,
+            kernel_size=(1,) * n_spatial,
+            use_bias=self.is_bias,
+            kernel_init=winit.kaiming_normal_fanout,
+            dtype=self.dtype,
+            name="conv2_pointwise",
+        )
+
+        numerator = conv1(self.activation(x_s))
+        numerator = conv2_depthwise(self.activation(numerator))
+        density = conv2_depthwise(conv1(conf_1))
+        out = numerator / jnp.clip(density, 1e-5)
+
+        # learned monotone confidence update (ref cnn.py:295-299);
+        # temperature ~ U(-0.05, 0.05), bias = 0 (ref reset_parameters)
+        temperature = self.param(
+            "temperature",
+            lambda k, s: jax.random.uniform(k, s, minval=-0.05, maxval=0.05),
+            (1,),
+        )
+        bias = self.param("bias", winit.zeros, (1,))
+        conf_2 = conf_1 + jax.nn.sigmoid(
+            density * jax.nn.softplus(temperature) + bias
+        )
+        conf_2 = jnp.clip(conf_2, None, 1.0)
+
+        out = out + x_s  # residual before pointwise
+        out = conv2_pointwise(out)
+        conf_2 = conv2_pointwise(conf_2)
+        return jnp.concatenate([out, conf_2], axis=-1)
+
+
 def _channel_list(n_channels: Union[int, Sequence[int]], n_blocks: int):
     if isinstance(n_channels, int):
         chans = [n_channels] * (n_blocks + 1)

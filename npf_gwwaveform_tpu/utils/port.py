@@ -79,6 +79,23 @@ def port_res_conv_block(block) -> Dict:
     }
 
 
+def port_res_normalized_conv_block(block) -> Dict:
+    """Reference ResNormalizedConvBlock (cnn.py:218-304) — requires the
+    torch block built with n_conv_layers=2 (its forward uses conv1)."""
+    import numpy as np
+
+    return {
+        "conv1": {
+            "depthwise": port_conv1d(block.conv1.depthwise),
+            "pointwise": port_conv1d(block.conv1.pointwise),
+        },
+        "conv2_depthwise": port_conv1d(block.conv2_depthwise),
+        "conv2_pointwise": port_conv1d(block.conv2_pointwise),
+        "temperature": np.asarray(block.temperature.detach().numpy()),
+        "bias": np.asarray(block.bias.detach().numpy()),
+    }
+
+
 def port_cnn(cnn) -> Dict:
     return {
         f"block_{i}": port_res_conv_block(b) for i, b in enumerate(cnn.conv_blocks)

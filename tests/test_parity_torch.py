@@ -139,3 +139,35 @@ def test_convcnp_parity():
 
     np.testing.assert_allclose(j_loc[0], t_loc[0], atol=5e-4, rtol=1e-3)
     np.testing.assert_allclose(j_scale[0], t_scale[0], atol=5e-4, rtol=1e-3)
+
+
+def test_res_normalized_conv_block_parity():
+    """ResNormalizedConvBlock vs reference cnn.py:218-304: ported weights,
+    identical [signal, confidence] outputs (channel-last here)."""
+    import torch.nn as nn_t
+
+    from npf.architectures import ResNormalizedConvBlock as TorchRNCB
+
+    from npf_gwwaveform_tpu.ops.cnn import ResNormalizedConvBlock
+    from npf_gwwaveform_tpu.utils.port import port_res_normalized_conv_block
+
+    C, OUT, L, K = 4, 6, 16, 5
+    torch.manual_seed(3)
+    tb = TorchRNCB(C, OUT, nn_t.Conv1d, kernel_size=K, n_conv_layers=2)
+    tb.eval()
+
+    rng = np.random.default_rng(3)
+    sig = rng.normal(size=(B, C, L)).astype(np.float32)
+    conf = rng.uniform(0, 1, (B, C, L)).astype(np.float32)
+    x_t = np.concatenate([sig, conf], axis=1)  # [B, 2C, L]
+
+    with torch.no_grad():
+        out_t = tb(torch.from_numpy(x_t)).numpy()  # [B, 2*OUT, L]
+
+    model = ResNormalizedConvBlock(OUT, kernel_size=K)
+    params = port_res_normalized_conv_block(tb)
+    x_j = jnp.asarray(np.moveaxis(x_t, 1, -1))  # [B, L, 2C]
+    out_j = model.apply({"params": params}, x_j, train=False)
+    out_j = np.moveaxis(np.asarray(out_j), -1, 1)
+
+    np.testing.assert_allclose(out_j, out_t, atol=1e-4, rtol=1e-3)

@@ -102,6 +102,34 @@ def test_data_parallel_mesh_training():
     assert per_fn.shape == (16,)
 
 
+def test_data_parallel_equivalence():
+    """1-device vs 8-device mesh: SAME seed + SAME data must give the SAME
+    loss trace over 20 steps (to f32 reduction tolerance). This is the test
+    that catches psum/sharding bugs — execution alone can't (VERDICT r1 §7)."""
+    assert jax.device_count() >= 8
+    model = CNP(y_dim=1, x_dim=1, r_dim=32)
+    tx = make_optimizer(lr=1e-3, decay_lr=None)
+
+    key = jax.random.PRNGKey(7)
+    xs = jax.random.uniform(key, (20, 16, 24, 1), minval=-1, maxval=1)
+    ys = jax.random.normal(jax.random.PRNGKey(8), (20, 16, 24, 1))
+
+    def run(mesh):
+        trainer = Trainer(model, CNPFLoss(), tx, splitter=_splitter(), mesh=mesh)
+        batch = _splitter()(jax.random.PRNGKey(0), xs[0], ys[0])
+        state = create_train_state(model, tx, batch, seed=0)
+        losses = []
+        for i in range(xs.shape[0]):
+            state, m = trainer.train_step(state, xs[i], ys[i])
+            losses.append(float(m["loss"]))
+        return np.asarray(losses)
+
+    single = run(None)
+    sharded = run(make_mesh(axes={"data": 8}))
+    assert np.isfinite(single).all()
+    np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=2e-4)
+
+
 def test_train_models_harness(tmp_path):
     """The full train_models loop: artifacts (history.json, eval.csv,
     model_summary.txt, checkpoints) in the reference's run-dir layout."""
