@@ -46,7 +46,15 @@ def _peak_flops():
     return None, kind
 
 
-def measure(batch_size=32, n_points=256, use_pallas=False, n_inner=50, n_chunks=4):
+def measure(
+    batch_size=32,
+    n_points=256,
+    use_pallas=False,
+    n_inner=50,
+    n_chunks=4,
+    n_context=64,
+    duration=1.0,
+):
     """Train-throughput measurement of the flagship config. Returns a dict
     with waveforms/sec/chip, per-step FLOPs (XLA cost analysis of the
     compiled 50-step program / 50), and MFU when the chip's peak is known."""
@@ -61,7 +69,7 @@ def measure(batch_size=32, n_points=256, use_pallas=False, n_inner=50, n_chunks=
     from npf_gwwaveform_tpu.losses import CNPFLoss
     from npf_gwwaveform_tpu.training import Trainer, create_train_state, make_optimizer
 
-    gen = GWWaveformGenerator(duration=1.0, sample_rate=1024.0)
+    gen = GWWaveformGenerator(duration=duration, sample_rate=1024.0)
     space = GWParameterSpace()
     # bfloat16 compute (f32 params, f32 log-prob reductions): verified to
     # track f32 convergence over 2k steps on this task, 6.4x faster on MXU
@@ -76,7 +84,8 @@ def measure(batch_size=32, n_points=256, use_pallas=False, n_inner=50, n_chunks=
         use_pallas_setconv=use_pallas,
     )
     splitter = CntxtTrgtSplitter(
-        contexts_getter=GetRandomIndcs(a=0.0, b=64), targets_getter=get_all_indcs
+        contexts_getter=GetRandomIndcs(a=0.0, b=n_context),
+        targets_getter=get_all_indcs,
     )
     tx = make_optimizer(lr=1e-3, decay_lr=None)
     trainer = Trainer(model, CNPFLoss(), tx, splitter=splitter)
@@ -129,6 +138,7 @@ def measure(batch_size=32, n_points=256, use_pallas=False, n_inner=50, n_chunks=
     peak, kind = _peak_flops()
     out = {
         "batch_size": batch_size,
+        "n_points": n_points,
         "use_pallas_setconv": use_pallas,
         "waveforms_per_sec_per_chip": round(wf_per_sec, 2),
         "flops_per_step": flops_chunk / n_inner,
@@ -148,12 +158,25 @@ def main():
     args = ap.parse_args()
 
     if args.detail:
-        detail = {"flagship": None, "sweep": []}
-        for bs in (32, 64, 128, 256):
+        detail = {"flagship": None, "sweep": [], "long_context": []}
+        for bs in (32, 64, 128, 256, 512):
             for use_pallas in (False, True):
                 r = measure(batch_size=bs, use_pallas=use_pallas)
                 detail["sweep"].append(r)
                 print(json.dumps(r), flush=True)
+        # long-waveform regime (2048-point waveforms, contexts up to 1024):
+        # where the Pallas SetConv's O(B*(Q+K)*C) memory vs XLA's
+        # materialized [B,Q,K] pairwise tensor actually matters
+        for use_pallas in (False, True):
+            r = measure(
+                batch_size=16,
+                n_points=2048,
+                n_context=1024,
+                duration=2.0,
+                use_pallas=use_pallas,
+            )
+            detail["long_context"].append(r)
+            print(json.dumps(r), flush=True)
         detail["flagship"] = max(
             detail["sweep"], key=lambda r: r["waveforms_per_sec_per_chip"]
         )

@@ -166,6 +166,7 @@ def main():
         "mode": args.mode,
         "conditioned": bool(args.cond),
         "cond_mode": args.cond_mode if args.cond else None,
+        "n_context": args.n_context,
         "steps": args.steps,
         "train_wf_per_sec": args.steps * args.batch / train_time,
         "test_nll_per_wf": float(nlls.mean()),
@@ -180,6 +181,7 @@ def main():
     tag = f"GW_{args.mode}" + (
         ("_cond" if args.cond_mode == "add" else "_cond_film") if args.cond else ""
     )
+    tag += f"_ctx{args.n_context}"
     run_dir = os.path.join(args.out, tag, args.model, "run_0")
     os.makedirs(run_dir, exist_ok=True)
     np.savetxt(os.path.join(run_dir, "eval.csv"), -nlls, delimiter=",")

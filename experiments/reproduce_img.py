@@ -1,9 +1,24 @@
-"""Image (on-the-grid) benchmark: Grid* models in-painting the offline
-digits datasets — the structural equivalent of the reference's MNIST rows
-(BASELINE.md: per-image summed LL over target pixels; context = random
-0-30% of pixels, targets = all).
+"""Image (on-the-grid) benchmarks.
 
-Usage: python experiments/reproduce_img.py --model GridConvCNP [--epochs 50]
+Two protocols, both per-image summed test LL over target pixels (the
+reference's image rows in BASELINE.md):
+
+* in-painting (`--dataset digits|mnist|celeba32`): context = random 0-30%
+  of pixels, targets = all pixels — the reference's MNIST/CelebA protocol.
+* zero-shot extrapolation (`--dataset zsmms`): train on randomly-translated
+  SINGLE digits on a small canvas, test on TWO digits on a 2x canvas
+  (reference ZeroShotMultiMNISTscale, utils/data/imgs.py:191-394). Only
+  translation-equivariant models survive the canvas change — the reference
+  pins GridConvCNP 1253 / GridConvLNP 3890 vs CNP -58552 / AttnCNP -309088
+  (results/pretrained/zsmms/*/run_0/eval.csv).
+
+Grid* models consume the boolean context mask directly; point models
+(CNP/LNP/AttnCNP/AttnLNP) consume padded point sets whose coordinates are
+normalized per-canvas to [-1,1] then multiplied by the test upscale factor
+(ref datasplit.py:437-452) — at test on the 2x canvas their coords are
+extrapolative, which is exactly what breaks non-equivariant models.
+
+Usage: python experiments/reproduce_img.py --model GridConvCNP [--dataset zsmms]
 """
 
 from __future__ import annotations
@@ -20,10 +35,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+POINT_MODELS = ("CNP", "LNP", "AttnCNP", "AttnLNP")
+
 
 def build_model(name, dtype=None):
-    from npf_gwwaveform_tpu import CNP, AttnCNP, GridConvCNP, GridConvLNP
-    from npf_gwwaveform_tpu.configs import _xy_encoder
+    from npf_gwwaveform_tpu import GridConvCNP, GridConvLNP
 
     if name == "GridConvCNP":
         return GridConvCNP(
@@ -36,6 +52,12 @@ def build_model(name, dtype=None):
             cnn_norm="batch", conv_kernel_size=11, n_z_samples_train=16,
             n_z_samples_test=32, is_global=True, dtype=dtype,
         )
+    if name in POINT_MODELS:
+        # the reference's image point models are the 1-D notebook configs
+        # with x_dim=2 (image coordinates), same R_DIM (ntbks add_y_dim)
+        from npf_gwwaveform_tpu.configs import gp_model_1d
+
+        return gp_model_1d(name, dtype=dtype).clone(x_dim=2)
     raise ValueError(name)
 
 
@@ -51,6 +73,7 @@ def main():
     from npf_gwwaveform_tpu.data import get_train_test_img_dataset
     from npf_gwwaveform_tpu.data.datasplit import (
         GridCntxtTrgtSplitter,
+        PointsFromGridSplitter,
         RandomMasker,
         no_masker,
     )
@@ -60,9 +83,19 @@ def main():
     train_ds, test_ds = get_train_test_img_dataset(args.dataset)
     model = build_model(args.model)
     criterion = NLLLossLNPF() if "LNP" in args.model else CNPFLoss()
-    splitter = GridCntxtTrgtSplitter(
-        context_masker=RandomMasker(a=0.0, b=0.3), target_masker=no_masker
-    )
+    is_point = args.model in POINT_MODELS
+    test_upscale = getattr(train_ds, "test_upscale_factor", 1.0)
+    if is_point:
+        splitter = PointsFromGridSplitter(context_masker=RandomMasker(a=0.0, b=0.3))
+        eval_splitter = PointsFromGridSplitter(
+            context_masker=RandomMasker(a=0.0, b=0.3),
+            upscale_factor=test_upscale,
+        )
+    else:
+        splitter = GridCntxtTrgtSplitter(
+            context_masker=RandomMasker(a=0.0, b=0.3), target_masker=no_masker
+        )
+        eval_splitter = splitter  # Grid models never see coordinates
     steps_per_epoch = max(1, len(train_ds) // args.batch)
     tx = make_optimizer(
         lr=1e-3, decay_lr=10.0, max_epochs=args.epochs,
@@ -70,6 +103,7 @@ def main():
         grad_clip_norm=1.0,  # batchnorm + tiny dataset oscillates unclipped
     )
     trainer = Trainer(model, criterion, tx, splitter=splitter)
+    eval_trainer = Trainer(model, criterion, tx, splitter=eval_splitter)
 
     imgs = train_ds.images  # small: keep on device, index inside scan
     n_train = imgs.shape[0]
@@ -99,19 +133,22 @@ def main():
     train_time = time.time() - t0
     print(f"train {total_steps} steps in {train_time:.1f}s; final loss {float(losses.mean()):.1f}")
 
-    # eval: per-image summed LL over all pixels, seeded context draws
+    # eval: per-image summed LL over all pixels, seeded context draws.
+    # zsmms: the test canvas is LARGER than the train canvas (zero-shot) —
+    # the eval step simply recompiles for the new grid shape.
     test_imgs = test_ds.images
     n_test = test_imgs.shape[0]
+    eval_bs = 32
 
     @jax.jit
     def run_eval(state):
         def body(_, i):
             k = jax.random.fold_in(jax.random.PRNGKey(123), i)
-            idx = jnp.arange(32) + i * 32
+            idx = jnp.arange(eval_bs) + i * eval_bs
             y = test_imgs[idx]
-            return None, trainer._eval_step(state, y, y, k)
+            return None, eval_trainer._eval_step(state, y, y, k)
 
-        _, nlls = jax.lax.scan(body, None, jnp.arange(n_test // 32))
+        _, nlls = jax.lax.scan(body, None, jnp.arange(n_test // eval_bs))
         return -nlls.reshape(-1)
 
     lls = np.asarray(run_eval(state))

@@ -261,10 +261,12 @@ class GridCntxtTrgtSplitter:
 
     def coords(self, grid_shape) -> jax.Array:
         """Normalized [-1,1] coordinates of every grid position
-        (ref datasplit.py:437-452), divided by upscale_factor for zero-shot
-        extrapolation (:447)."""
+        (ref datasplit.py:437-452), MULTIPLIED by upscale_factor for
+        zero-shot extrapolation (:447 `X_masked *= self.upscale_factor`):
+        a larger test canvas keeps the train pixel spacing, so its coords
+        extend beyond [-1,1]."""
         axes = [
-            jnp.linspace(-1.0, 1.0, s) / self.upscale_factor for s in grid_shape
+            jnp.linspace(-1.0, 1.0, s) * self.upscale_factor for s in grid_shape
         ]
         mesh = jnp.stack(jnp.meshgrid(*axes, indexing="ij"), axis=-1)
         return mesh.reshape(-1, len(grid_shape))  # [prod(grid), ndim]
@@ -294,6 +296,45 @@ class SuperresolutionCntxtTrgtSplitter:
         )
 
 
+@dataclass(frozen=True)
+class PointsFromGridSplitter:
+    """Grid batch -> padded POINT sets for off-grid models (CNP/AttnCNP/LNP)
+    trained on image grids — the reference feeds point models with
+    `cntxt_trgt_collate(GridCntxtTrgtGetter(...))` (ref dataloader.py:6-37 +
+    datasplit.py:336-452). Context pixels come from `context_masker`; the
+    target set is ALL pixels (ref no_masker target in the image notebooks).
+    Coordinates follow the reference normalization: per-canvas [-1,1] THEN
+    multiplied by `upscale_factor` (ref datasplit.py:447), so a larger
+    zero-shot test canvas yields extrapolative coords beyond [-1,1].
+    Static shapes: both sets are padded to the full pixel count."""
+
+    context_masker: Callable = RandomMasker()
+    upscale_factor: float = 1.0
+
+    def __call__(self, key, y_grid, y=None):
+        if y is not None:
+            y_grid = y
+        B = y_grid.shape[0]
+        grid_shape = y_grid.shape[1:-1]
+        n_pix = 1
+        for s in grid_shape:
+            n_pix *= s
+        mask_cntxt = self.context_masker(key, B, grid_shape)
+        xc, yc, mc = grid_to_points(
+            y_grid, mask_cntxt, n_pix, self.upscale_factor
+        )
+        full = jnp.ones((B,) + tuple(grid_shape), bool)
+        xt, yt, mt = grid_to_points(y_grid, full, n_pix, self.upscale_factor)
+        return dict(
+            X_cntxt=xc,
+            Y_cntxt=yc,
+            mask_cntxt=mc,
+            X_trgt=xt,
+            Y_trgt=yt,
+            mask_trgt=mt,
+        )
+
+
 def grid_to_points(y_grid, mask, n_max: int, upscale_factor: float = 1.0):
     """Convert (image, boolean mask) into a padded point set of at most n_max
     points with coordinates in [-1,1] (ref visualize_imgs points_to_grid /
@@ -307,7 +348,9 @@ def grid_to_points(y_grid, mask, n_max: int, upscale_factor: float = 1.0):
     for s in grid_shape:
         n_pix *= s
 
-    axes = [jnp.linspace(-1.0, 1.0, s) / upscale_factor for s in grid_shape]
+    # ref datasplit.py:447: coords normalized per-canvas then scaled UP so a
+    # larger test canvas keeps the train pixel spacing (extrapolative range)
+    axes = [jnp.linspace(-1.0, 1.0, s) * upscale_factor for s in grid_shape]
     coords = jnp.stack(jnp.meshgrid(*axes, indexing="ij"), axis=-1).reshape(
         n_pix, ndim
     )

@@ -43,13 +43,39 @@ def test_digits_datasets():
 
 
 def test_zsmm_train_vs_test_structure():
-    tr = ZeroShotMultiDigits(train=True, upscale=2, pad=16)
-    te = ZeroShotMultiDigits(train=False, upscale=2, pad=16, n_test=16)
-    assert tr.shape == te.shape  # same canvas
-    # test canvases contain (usually) more lit pixels: two digits
-    tr_mass = float(np.asarray(tr.images).mean())
-    te_mass = float(np.asarray(te.images).mean())
-    assert te_mass > tr_mass * 1.2
+    """zsmms construction (ref imgs.py:191-394): train = ONE translated digit
+    on a small canvas; test = TWO digits on a canvas of side 2x the digit —
+    the zero-shot extrapolation is the LARGER test canvas."""
+    tr = ZeroShotMultiDigits(train=True, upscale=2)
+    te = ZeroShotMultiDigits(train=False, upscale=2, n_test=16)
+    assert tr.shape == (20, 20, 1)  # 16px digit + 25% headroom
+    assert te.shape == (32, 32, 1)  # 2x digit side
+    # per-canvas lit mass: two digits on 32^2 vs one digit on 20^2
+    tr_lit = float((np.asarray(tr.images) > 0.1).sum(axis=(1, 2, 3)).mean())
+    te_lit = float((np.asarray(te.images) > 0.1).sum(axis=(1, 2, 3)).mean())
+    assert te_lit > tr_lit * 1.5  # ~2 digits vs 1
+    assert tr.test_upscale_factor == pytest.approx(1.6)
+
+
+def test_points_from_grid_splitter_upscale():
+    """Point-model zsmms protocol: test coords are normalized per-canvas
+    then MULTIPLIED by the upscale factor (ref datasplit.py:447) — they
+    extend beyond the train range [-1,1]."""
+    from npf_gwwaveform_tpu.data.datasplit import PointsFromGridSplitter
+
+    imgs = jnp.ones((2, 8, 8, 1), jnp.float32)
+    sp = PointsFromGridSplitter(
+        context_masker=RandomMasker(a=0.1, b=0.5), upscale_factor=1.6
+    )
+    batch = sp(jax.random.PRNGKey(0), imgs, imgs)
+    assert batch["X_trgt"].shape == (2, 64, 2)
+    assert batch["Y_trgt"].shape == (2, 64, 1)
+    assert bool(batch["mask_trgt"].all())
+    np.testing.assert_allclose(float(batch["X_trgt"].max()), 1.6, rtol=1e-6)
+    np.testing.assert_allclose(float(batch["X_trgt"].min()), -1.6, rtol=1e-6)
+    # context = subset of target pixels, mask counts within the masker range
+    frac = batch["mask_cntxt"].mean()
+    assert 0.05 <= float(frac) <= 0.55
 
 
 def test_grid_training_end_to_end():
