@@ -154,7 +154,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--detail", action="store_true",
                     help="write BENCH_DETAIL.json with pallas A/B + batch sweep")
-    ap.add_argument("--batch", type=int, default=32)
+    # 256 = the measured throughput-optimal batch on v5e (BENCH_DETAIL.json
+    # sweep: 2.1x the batch-32 rate, 512 regresses); data is generated on
+    # device so batch scaling is accuracy-neutral free throughput
+    ap.add_argument("--batch", type=int, default=256)
     args = ap.parse_args()
 
     if args.detail:

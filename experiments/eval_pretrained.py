@@ -1,0 +1,139 @@
+"""Protocol-validation diagnostic: port the reference's PRETRAINED torch
+checkpoints (results/pretrained/{kernel}/{model}/run_0/params.pt) into this
+framework and score them under OUR eval pipeline (same keys/shapes as
+experiments/reproduce_gp.py).
+
+If the ported weights reproduce the reference's recorded eval.csv mean, our
+data + split + metric pipeline is validated for that model family, and any
+gap in our own trained numbers is a TRAINING issue, not protocol. Round 1
+established this for CNP (-15.46 vs recorded -16.11) and LNP; this script
+generalizes it (notably to the attention family).
+
+Usage: python experiments/eval_pretrained.py --model AttnCNP --kernel RBF_Kernel
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, "/root/reference")
+
+import numpy as np
+
+
+def build_torch_model(name: str):
+    """The reference notebooks' 1-D configs (CNP.ipynb cell 7 etc.)."""
+    from functools import partial
+
+    import npf as npf_torch
+    from npf.architectures import MLP, merge_flat_input
+
+    R = 128
+    if name == "CNP":
+        return npf_torch.CNP(
+            x_dim=1, y_dim=1, r_dim=R,
+            XYEncoder=merge_flat_input(
+                partial(MLP, n_hidden_layers=2, hidden_size=R * 2), is_sum_merge=True
+            ),
+        )
+    if name == "AttnCNP":
+        return npf_torch.AttnCNP(
+            x_dim=1, y_dim=1, r_dim=R, attention="transformer",
+            XYEncoder=merge_flat_input(
+                partial(MLP, n_hidden_layers=2, hidden_size=R), is_sum_merge=True
+            ),
+            is_self_attn=False,
+        )
+    raise ValueError(name)
+
+
+def port(name: str, tm):
+    from npf_gwwaveform_tpu.utils.port import port_attncnp_transformer, port_cnp
+
+    if name == "CNP":
+        return port_cnp(tm)
+    if name == "AttnCNP":
+        return port_attncnp_transformer(tm)
+    raise ValueError(name)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="AttnCNP")
+    ap.add_argument("--kernel", default="RBF_Kernel")
+    ap.add_argument("--n-test", type=int, default=10_000)
+    args = ap.parse_args()
+
+    import torch
+
+    ckpt = f"/root/reference/results/pretrained/{args.kernel}/{args.model}/run_0/params.pt"
+    tm = build_torch_model(args.model)
+    tm.load_state_dict(torch.load(ckpt, map_location="cpu"))
+    tm.eval()
+    params = port(args.model, tm)
+
+    ref_eval = np.loadtxt(os.path.dirname(ckpt) + "/eval.csv", delimiter=",")
+
+    import jax
+    import jax.numpy as jnp
+
+    from experiments.reproduce_gp import build_model, criterion_for
+    from npf_gwwaveform_tpu.data import (
+        CntxtTrgtSplitter,
+        GetRandomIndcs,
+        GPSampler,
+        get_all_indcs,
+    )
+    from npf_gwwaveform_tpu.data.gp import KERNEL_CONFIGS
+    from npf_gwwaveform_tpu.training import Trainer, create_train_state, make_optimizer
+
+    sampler = GPSampler(n_points=128, **KERNEL_CONFIGS[args.kernel])
+    model = build_model(args.model)
+    criterion = criterion_for(args.model)
+    splitter = CntxtTrgtSplitter(
+        contexts_getter=GetRandomIndcs(a=0.0, b=50, is_indep_n=True),
+        targets_getter=get_all_indcs,
+    )
+    tx = make_optimizer(lr=1e-3, decay_lr=None)
+    trainer = Trainer(model, criterion, tx, splitter=splitter)
+
+    key = jax.random.PRNGKey(0)
+    x0, y0 = sampler.sample(key, 32)
+    state = create_train_state(model, tx, splitter(key, x0, y0), seed=0)
+    state = state.replace(params=jax.device_get(params))
+
+    # identical eval protocol to reproduce_gp.py (same keys => same test fns)
+    eval_bs = 256
+    n_eval_batches = args.n_test // eval_bs
+    k_data, k_split = jax.random.split(jax.random.PRNGKey(123))
+
+    @jax.jit
+    def run_eval(state):
+        def body(_, i):
+            x, y = sampler.sample(jax.random.fold_in(k_data, i), eval_bs)
+            return None, trainer._eval_step(state, x, y, jax.random.fold_in(k_split, i))
+
+        _, nlls = jax.lax.scan(body, None, jnp.arange(n_eval_batches))
+        return -nlls.reshape(-1)
+
+    lls = np.asarray(run_eval(state))
+    print(
+        json.dumps(
+            {
+                "model": args.model,
+                "kernel": args.kernel,
+                "ported_pretrained_mean_ll": float(lls.mean()),
+                "ported_pretrained_std": float(lls.std()),
+                "reference_recorded_mean_ll": float(ref_eval.mean()),
+                "n_test": int(lls.size),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -95,6 +95,14 @@ def main():
     splitter = CntxtTrgtSplitter(
         contexts_getter=GetRandomIndcs(a=0.0, b=50), targets_getter=get_all_indcs
     )
+    # eval draws the context count PER FUNCTION (same U{0..50} marginal the
+    # reference evaluates under, but unbiased: per-batch shared counts over
+    # 39 eval batches realize a mean of 28.5 instead of 25 — see
+    # GetRandomIndcs.is_indep_n)
+    eval_splitter = CntxtTrgtSplitter(
+        contexts_getter=GetRandomIndcs(a=0.0, b=50, is_indep_n=True),
+        targets_getter=get_all_indcs,
+    )
 
     steps_per_epoch = args.fns_per_epoch // args.batch
     grad_clip = 1.0 if args.model == "ConvLNP" else None
@@ -106,6 +114,7 @@ def main():
         grad_clip_norm=grad_clip,
     )
     trainer = Trainer(model, criterion, tx, splitter=splitter)
+    eval_trainer = Trainer(model, criterion, tx, splitter=eval_splitter)
 
     key = jax.random.PRNGKey(args.seed)
     x0, y0 = sampler.sample(key, args.batch)
@@ -156,7 +165,7 @@ def main():
         state, chunk_losses = jax.lax.scan(
             chunk_body, state, jax.random.split(key, per_super)
         )
-        v = jnp.mean(trainer._eval_step(state, xv, yv, k_valid))
+        v = jnp.mean(eval_trainer._eval_step(state, xv, yv, k_valid))
         better = v < best_v
         best_params = jax.tree.map(
             lambda b, p: jnp.where(better, p, b), best_params, state.params
@@ -214,7 +223,9 @@ def main():
                 kd = k_data if comp == 0 else jax.random.fold_in(k_data, comp)
                 ks = k_split if comp == 0 else jax.random.fold_in(k_split, comp)
                 x, y = ev_sampler.sample(jax.random.fold_in(kd, i), eval_bs)
-                return None, trainer._eval_step(state, x, y, jax.random.fold_in(ks, i))
+                return None, eval_trainer._eval_step(
+                    state, x, y, jax.random.fold_in(ks, i)
+                )
 
             _, nlls = jax.lax.scan(body, None, jnp.arange(n_eval_batches))
             return -nlls.reshape(-1)
@@ -247,6 +258,7 @@ def main():
         "train_seconds": train_time,
         "fns_per_sec": args.epochs * args.fns_per_epoch / train_time,
         "epochs": args.epochs,
+        "eval_protocol": "indep_n",
     }
     with open(os.path.join(run_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)

@@ -89,6 +89,15 @@ class GetRandomIndcs:
     is_ensure_one: bool = False
     is_beta_binomial: bool = False
     proba_uniform: float = 0.0
+    # draw the count independently PER BATCH ELEMENT instead of once per
+    # batch. The reference shares one count per batch (datasplit.py:129-139,
+    # a torch-gather equal-sizes constraint masks don't have); the marginal
+    # count distribution — and hence the expected eval LL — is identical,
+    # but per-element draws estimate it without per-batch count noise.
+    # Use at EVAL: a 10k-function eval in 256-sized batches otherwise rests
+    # on only ~39 count draws (measured realized mean 28.5 vs nominal 25,
+    # inflating every recorded LL for context-hungry models).
+    is_indep_n: bool = False
 
     def __call__(self, key, batch_size, n_points):
         k_n, k_u, k_choice, k_perm = jax.random.split(key, 4)
@@ -110,7 +119,8 @@ class GetRandomIndcs:
 
             a, b = to_count(self.a), to_count(self.b)
             a = min(a, b)
-            n_indcs = jax.random.randint(k_n, (), a, b + 1)
+            n_shape = (batch_size, 1) if self.is_indep_n else ()
+            n_indcs = jax.random.randint(k_n, n_shape, a, b + 1)
 
         # with prob proba_uniform, resample count uniformly over all sizes
         if self.proba_uniform > 0:

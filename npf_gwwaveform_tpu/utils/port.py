@@ -115,6 +115,41 @@ def port_attncnp(torch_model) -> Dict:
     return port_cnp(torch_model)
 
 
+def port_layer_norm(ln) -> Dict:
+    return {"scale": _t2j(ln.weight), "bias": _t2j(ln.bias)}
+
+
+def port_multihead_attender(att) -> Dict:
+    """Reference MultiheadAttender (attention.py:375-527): 3 projection
+    linears + optional post-processor."""
+    d = {
+        "key_transform": port_linear(att.key_transform),
+        "query_transform": port_linear(att.query_transform),
+        "value_transform": port_linear(att.value_transform),
+    }
+    if att.post_processor is not None:
+        d["post_processor"] = port_linear(att.post_processor)
+    return d
+
+
+def port_transformer_attender(att) -> Dict:
+    """Reference TransformerAttender (attention.py:530-588): multihead (no
+    post-process) + 2 LayerNorms + MLP."""
+    return {
+        "multihead": port_multihead_attender(att),
+        "layer_norm1": port_layer_norm(att.layer_norm1),
+        "layer_norm2": port_layer_norm(att.layer_norm2),
+        "mlp": port_mlp(att.mlp),
+    }
+
+
+def port_attncnp_transformer(torch_model) -> Dict:
+    """AttnCNP with the notebook benchmark config's transformer attender."""
+    d = port_cnp(torch_model)
+    d["attender"] = port_transformer_attender(torch_model.attender)
+    return d
+
+
 def port_convcnp(torch_model) -> Dict:
     return {
         "cntxt_to_induced": port_setconv(torch_model.cntxt_to_induced),

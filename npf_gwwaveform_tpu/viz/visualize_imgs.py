@@ -37,33 +37,63 @@ def points_to_grid(x, y, grid_shape, fill=0.0):
     return canvas
 
 
+def sarle(out, axis=0):
+    """Sarle's bimodality coefficient (ref visualize_imgs.py:850-856,
+    reproduced exactly including its n = out.shape[1] convention): lower
+    denominator / higher value = more bimodal."""
+    from scipy import stats
+
+    k = stats.kurtosis(out, axis=axis, fisher=True)
+    g = stats.skew(out, axis=axis)
+    n = out.shape[1]
+    denom = k + 3 * (n - 1) ** 2 / ((n - 2) * (n - 2))
+    return (g**2 + 1) / denom
+
+
 def plot_img_marginal_pred(
-    model, variables, mask_cntxt, y_grid, pixel=(0, 0), n_samples=64, key=None
+    model,
+    variables,
+    mask_cntxt,
+    y_grid,
+    n_samples=64,
+    n_marginals=5,
+    pixel=None,
+    key=None,
 ):
-    """Marginal predictive density at one pixel across latent samples — the
-    multi-modality probe (ref visualize_imgs.py:117-207, simplified: KDE of
-    per-sample predictive means + the mixture density curve)."""
+    """Mixture marginal predictive density over pixel intensity, for the
+    pixels Sarle's bimodality coefficient ranks most multi-modal — the
+    reference's multi-modality probe (ref visualize_imgs.py:117-207: mixture
+    marginal on a 1000-point intensity grid, sarle-sorted pixel pick :169-183).
+    Pass `pixel=(i, j)` to probe one pixel instead."""
     key = key if key is not None else jax.random.PRNGKey(0)
     locs, scales = get_posterior_samples_imgs(
         model, variables, mask_cntxt, y_grid, n_samples, key
     )
-    i, j = pixel
-    mu = locs[:, 0, i, j, 0]
-    sd = scales[:, 0, i, j, 0]
-    grid = np.linspace(mu.min() - 3 * sd.max(), mu.max() + 3 * sd.max(), 200)
-    dens = np.mean(
-        [
-            np.exp(-0.5 * ((grid - m) / s) ** 2) / (s * np.sqrt(2 * np.pi))
-            for m, s in zip(mu, sd)
-        ],
-        axis=0,
-    )
+    n_z = locs.shape[0]
+    H, W = y_grid.shape[1], y_grid.shape[2]
+    if pixel is not None:
+        flat_idx = [pixel[0] * W + pixel[1]]
+    else:
+        flat_idx = None
+    mu = locs[:, 0, ..., 0].reshape(n_z, -1)  # image 0, channel 0: [n_z, P]
+    sd = np.maximum(scales[:, 0, ..., 0].reshape(n_z, -1), 1e-6)
+    arange = np.linspace(0.0, 1.0, 1000)
+    # log N(a; mu, sd) on the intensity grid -> logsumexp over z = mixture
+    z2 = ((arange[:, None, None] - mu[None]) / sd[None]) ** 2  # [1000, n_z, P]
+    log_p = -0.5 * z2 - np.log(sd[None]) - 0.5 * np.log(2 * np.pi)
+    from scipy.special import logsumexp
+
+    out = np.exp(logsumexp(log_p, axis=1) - np.log(n_z))  # [1000, P]
+    if flat_idx is None:
+        flat_idx = np.argsort(sarle(out))[:n_marginals]
+
     fig, ax = plt.subplots(figsize=(5, 3))
-    ax.plot(grid, dens)
-    ax.axvline(float(np.asarray(y_grid)[0, i, j, 0]), color="r", ls=":", label="truth")
-    ax.set_xlabel(f"pixel {pixel} value")
-    ax.set_ylabel("marginal predictive density")
-    ax.legend()
+    ax.plot(arange, out[:, flat_idx], alpha=0.7)
+    ax.set_yticks([])
+    ax.set_ylabel("Marginal Predictive")
+    ax.set_xlabel("Pixel Intensity")
+    ax.set_xlim(-0.1, 1)
+    ax.set_xticks([0, 0.5, 1])
     return fig
 
 
@@ -74,34 +104,83 @@ def plot_qualitative_with_kde(
     lls,
     percentiles=(1, 25, 50, 75, 99),
     context_fraction=0.3,
+    model_compare=None,
+    variables_compare=None,
+    lls_compare=None,
+    name="model",
+    name_compare="compare",
     key=None,
 ):
     """Qualitative panel keyed to the test-LL distribution
-    (ref visualize_imgs.py:467-770, simplified): a KDE of per-image test
-    log-likelihoods plus in-painting panels for the images sitting at the
-    given LL percentiles."""
+    (ref visualize_imgs.py:467-770): a KDE of per-image test log-likelihoods
+    with percentile markers, plus in-painting panels for the images whose LL
+    sits nearest each percentile (np.percentile 'nearest' pick, ref :518-523).
+    Pass a second (model, variables[, lls]) to overlay its KDE and render its
+    reconstructions of the SAME selected images (ref named_trainer_compare)."""
     key = key if key is not None else jax.random.PRNGKey(0)
     lls = np.asarray(lls)
-    idx = [int(np.argsort(lls)[min(len(lls) - 1, int(p / 100 * len(lls)))]) for p in percentiles]
+    # reference pick: value closest to the percentile, then its index
+    idx = []
+    for p in percentiles:
+        v = np.percentile(lls, p, method="nearest")
+        idx.append(int(np.argwhere(lls == v)[0]))
 
-    fig = plt.figure(figsize=(3 * len(percentiles), 7))
-    gs = fig.add_gridspec(2, 1, height_ratios=[1, 2])
+    n_panel_rows = 2 if model_compare is None else 3
+    fig = plt.figure(figsize=(3 * len(percentiles), 4 + 2 * n_panel_rows))
+    gs = fig.add_gridspec(2, 1, height_ratios=[1, n_panel_rows])
     ax_kde = fig.add_subplot(gs[0])
-    try:
-        import seaborn as sns
 
-        sns.kdeplot(lls, ax=ax_kde, fill=True)
-    except ImportError:
-        ax_kde.hist(lls, bins=50, density=True, alpha=0.5)
+    def _kde(vals, label):
+        try:
+            import seaborn as sns
+
+            sns.kdeplot(np.asarray(vals), ax=ax_kde, fill=True, label=label, cut=0)
+        except ImportError:
+            ax_kde.hist(np.asarray(vals), bins=50, density=True, alpha=0.5, label=label)
+
+    _kde(lls, name)
+    if lls_compare is not None:
+        left = ax_kde.get_xlim()[0]
+        _kde(lls_compare, name_compare)
+        ax_kde.set_xlim(left=left)  # left bound by first model (ref :666)
     for p, i in zip(percentiles, idx):
-        ax_kde.axvline(lls[i], color="r", ls=":", alpha=0.6)
+        ax_kde.axvline(lls[i], color="tab:green", ls=":", alpha=0.7)
         ax_kde.text(lls[i], ax_kde.get_ylim()[1] * 0.9, f"{p}%", fontsize=7)
-    ax_kde.set_xlabel("per-image test log-likelihood")
+    ax_kde.set_xlabel("Test Log-Likelihood")
+    ax_kde.set_ylabel("Density")
+    ax_kde.legend(loc="upper left")
 
     sel = jnp.asarray(np.stack([np.asarray(images[i]) for i in idx]))
     mask = jax.random.bernoulli(key, context_fraction, sel.shape[:-1])[..., None]
     sub = fig.add_subfigure(gs[1])
-    plot_posterior_samples_imgs(model, variables, mask, sel, n_samples=1, key=key, fig=sub)
+    if model_compare is None:
+        plot_posterior_samples_imgs(
+            model, variables, mask, sel, n_samples=1, key=key, fig=sub
+        )
+    else:
+        # same images + same context mask through both models
+        locs, _ = get_posterior_samples_imgs(model, variables, mask, sel, 1, key)
+        locs_c, _ = get_posterior_samples_imgs(
+            model_compare, variables_compare, mask, sel, 1, key
+        )
+        axes = np.atleast_2d(sub.subplots(3, len(idx)))
+        maskf = np.asarray(mask).astype(np.float32)
+        for b in range(len(idx)):
+            imgs_rows = [
+                np.asarray(sel[b]) * maskf[b] + 0.5 * (1 - maskf[b]),
+                locs[0, b],
+                locs_c[0, b],
+            ]
+            for r, img in enumerate(imgs_rows):
+                img = np.asarray(img)
+                if img.shape[-1] == 1:
+                    axes[r, b].imshow(img[..., 0], cmap="gray", vmin=0, vmax=1)
+                else:
+                    axes[r, b].imshow(np.clip(img, 0, 1))
+                axes[r, b].set_xticks([])
+                axes[r, b].set_yticks([])
+                if b == 0:
+                    axes[r, 0].set_ylabel(["Context", name, name_compare][r])
     return fig
 
 

@@ -47,3 +47,45 @@ def test_plot_qualitative_with_kde(key):
     lls = np.random.default_rng(0).normal(size=20)
     fig = plot_qualitative_with_kde(model, v, imgs, lls, percentiles=(1, 50, 99))
     assert fig is not None
+
+
+def test_plot_qualitative_with_kde_compare(key):
+    """Compare mode (ref named_trainer_compare): second model's KDE overlays
+    and its reconstructions of the SAME selected images render as a row."""
+    model = GridConvCNP(
+        y_dim=1, x_dim=1, r_dim=8, cnn_n_blocks=2, cnn_kernel_size=3,
+        conv_kernel_size=3,
+    )
+    imgs = jax.random.uniform(key, (20, 8, 8, 1))
+    v = model.init(
+        {"params": key, "latent": key},
+        jnp.ones((1, 8, 8, 1)), imgs[:1], jnp.ones((1, 8, 8, 1)),
+    )
+    rng = np.random.default_rng(0)
+    fig = plot_qualitative_with_kde(
+        model, v, imgs, rng.normal(size=20), percentiles=(1, 50, 99),
+        model_compare=model, variables_compare=v,
+        lls_compare=rng.normal(size=20) + 1.0,
+        name="A", name_compare="B",
+    )
+    assert fig is not None
+
+
+def test_sarle_picks_bimodal_density_before_unimodal():
+    """Sarle coefficient as the reference applies it (visualize_imgs.py:
+    850-856, :169-183): computed on DENSITY CURVES over the intensity grid,
+    ascending argsort — a two-component mixture marginal must sort before a
+    peaked unimodal one (lower coefficient = flatter/multi-modal curve)."""
+    from npf_gwwaveform_tpu.viz.visualize_imgs import sarle
+
+    a = np.linspace(0, 1, 1000)
+
+    def gauss(m, s):
+        return np.exp(-0.5 * ((a - m) / s) ** 2) / (s * np.sqrt(2 * np.pi))
+
+    uni = gauss(0.5, 0.08)
+    bi = 0.5 * gauss(0.25, 0.05) + 0.5 * gauss(0.75, 0.05)
+    sharp = gauss(0.2, 0.02)
+    out = np.stack([sharp, bi, uni], axis=1)
+    s = sarle(out)
+    assert s[1] < s[2] < s[0]  # bimodal first, sharp unimodal last

@@ -105,6 +105,26 @@ def test_attncnp_parity():
     np.testing.assert_allclose(j_scale[0], t_scale[0], atol=ATOL, rtol=1e-4)
 
 
+def test_attncnp_transformer_parity():
+    """The notebook benchmark config's attender (attention='transformer',
+    reference attention.py:530-588): ported weights must reproduce the torch
+    forward exactly — covers multihead projections + head split/merge +
+    residual/LayerNorm/MLP, which the scaledot test above does not."""
+    from npf_gwwaveform_tpu.utils.port import port_attncnp_transformer
+
+    torch.manual_seed(3)
+    tm = npf_torch.AttnCNP(x_dim=1, y_dim=1, r_dim=R, attention="transformer")
+    params = port_attncnp_transformer(tm)
+    model = AttnCNP(y_dim=1, x_dim=1, r_dim=R, attention="transformer")
+
+    x_c, y_c, x_t = _inputs(seed=3)
+    t_loc, t_scale = _torch_forward(tm, x_c, y_c, x_t)
+    j_loc, j_scale = _jax_forward(model, params, x_c, y_c, x_t)
+
+    np.testing.assert_allclose(j_loc[0], t_loc[0], atol=ATOL, rtol=1e-4)
+    np.testing.assert_allclose(j_scale[0], t_scale[0], atol=ATOL, rtol=1e-4)
+
+
 def test_convcnp_parity():
     import torch.nn as nn
     from functools import partial
