@@ -9,6 +9,7 @@ from .encoders import (
 )
 from .attention import get_attender
 from .selfattn import SelfAttention
+from .probability import ProbabilityConverter, clamp
 from .setconv import ExpRBF, MlpRBF, SetConv, UnsharedExpRBF
 from .cnn import (
     CNN,
@@ -32,6 +33,8 @@ __all__ = [
     "get_attender",
     "SelfAttention",
     "SetConv",
+    "ProbabilityConverter",
+    "clamp",
     "ExpRBF",
     "MlpRBF",
     "UnsharedExpRBF",

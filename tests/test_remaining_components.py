@@ -171,3 +171,43 @@ def test_profiling_utils():
 
     stats = compiled_stats(lambda a, b: a @ b, jnp.ones((64, 64)), jnp.ones((64, 64)))
     assert stats["flops"] is None or stats["flops"] > 0
+
+
+def test_probability_converter_golden_vs_torch():
+    """ProbabilityConverter vs reference helpers.py:167-305: same outputs for
+    sigmoid and hard-sigmoid on identical inputs (incl. min_p band rescale
+    and initial_probability->bias), trainable flags expose params."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from npf.utils.helpers import ProbabilityConverter as TorchPC
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from npf_gwwaveform_tpu.ops import ProbabilityConverter
+
+    x = np.linspace(-4, 4, 33).astype(np.float32)
+    for activation in ("sigmoid", "hard-sigmoid"):
+        for min_p, p0, temp in ((0.0, 0.5, 1.0), (0.1, 0.3, 2.0)):
+            tpc = TorchPC(
+                min_p=min_p, activation=activation,
+                initial_probability=p0, initial_temperature=temp,
+            )
+            with torch.no_grad():
+                t_out = tpc(torch.from_numpy(x)).numpy()
+            jpc = ProbabilityConverter(
+                min_p=min_p, activation=activation,
+                initial_probability=p0, initial_temperature=temp,
+            )
+            j_out, _ = jpc.init_with_output(jax.random.PRNGKey(0), jnp.asarray(x))
+            np.testing.assert_allclose(np.asarray(j_out), t_out, atol=1e-6)
+
+    # trainable flags create params
+    jpc = ProbabilityConverter(is_train_temperature=True, is_train_bias=True)
+    v = jpc.init(jax.random.PRNGKey(0), jnp.zeros((3,)))
+    assert set(v["params"]) == {"temperature", "bias"}
