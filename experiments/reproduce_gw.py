@@ -74,6 +74,11 @@ def main():
         contexts_getter=GetRandomIndcs(a=0.0, b=args.n_context),
         targets_getter=get_all_indcs,
     )
+    # per-waveform context counts at eval (unbiased; GetRandomIndcs.is_indep_n)
+    eval_splitter = CntxtTrgtSplitter(
+        contexts_getter=GetRandomIndcs(a=0.0, b=args.n_context, is_indep_n=True),
+        targets_getter=get_all_indcs,
+    )
 
     steps_per_epoch = 1562
     tx = make_optimizer(
@@ -144,7 +149,7 @@ def main():
     def eval_batch(state, key):
         kd, ks, kl = jax.random.split(key, 3)
         x, y, p = make_batch(kd, 256)
-        batch = splitter(ks, x, y, condition=p if args.cond else None)
+        batch = eval_splitter(ks, x, y, condition=p if args.cond else None)
         out, _ = trainer._apply(state.params, state.extra_vars, batch, kl, train=False)
         # per-waveform NLL with the eval criterion (NPML forced)
         nll = trainer.eval_criterion(out, batch["Y_trgt"], batch["mask_trgt"], train=False)

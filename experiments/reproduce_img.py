@@ -85,17 +85,22 @@ def main():
     criterion = NLLLossLNPF() if "LNP" in args.model else CNPFLoss()
     is_point = args.model in POINT_MODELS
     test_upscale = getattr(train_ds, "test_upscale_factor", 1.0)
+    # eval draws the context fraction PER IMAGE (unbiased estimate of the
+    # same U{0..30%} protocol; see GetRandomIndcs.is_indep_n)
+    eval_masker = RandomMasker(a=0.0, b=0.3, is_indep_n=True)
     if is_point:
         splitter = PointsFromGridSplitter(context_masker=RandomMasker(a=0.0, b=0.3))
         eval_splitter = PointsFromGridSplitter(
-            context_masker=RandomMasker(a=0.0, b=0.3),
+            context_masker=eval_masker,
             upscale_factor=test_upscale,
         )
     else:
         splitter = GridCntxtTrgtSplitter(
             context_masker=RandomMasker(a=0.0, b=0.3), target_masker=no_masker
         )
-        eval_splitter = splitter  # Grid models never see coordinates
+        eval_splitter = GridCntxtTrgtSplitter(
+            context_masker=eval_masker, target_masker=no_masker
+        )  # Grid models never see coordinates
     steps_per_epoch = max(1, len(train_ds) // args.batch)
     tx = make_optimizer(
         lr=1e-3, decay_lr=10.0, max_epochs=args.epochs,

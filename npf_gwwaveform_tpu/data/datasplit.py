@@ -197,14 +197,18 @@ class RandomMasker:
     a: float = 0.1
     b: float = 0.5
     is_batch_share: bool = False
+    is_indep_n: bool = False  # per-image count draws (see GetRandomIndcs)
 
     def __call__(self, key, batch_size, grid_shape):
         n_pix = 1
         for s in grid_shape:
             n_pix *= s
-        flat = GetRandomIndcs(a=self.a, b=self.b, is_batch_share=self.is_batch_share)(
-            key, batch_size, n_pix
-        )
+        flat = GetRandomIndcs(
+            a=self.a,
+            b=self.b,
+            is_batch_share=self.is_batch_share,
+            is_indep_n=self.is_indep_n,
+        )(key, batch_size, n_pix)
         return flat.reshape((batch_size,) + tuple(grid_shape))
 
 
