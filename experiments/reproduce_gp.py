@@ -67,6 +67,12 @@ def main():
         "--per-super", type=int, default=80,
         help="chunks (x50 steps) per dispatch; smaller for heavy models",
     )
+    ap.add_argument(
+        "--ablation", default=None,
+        help="objective-ablation variant 'ELBO{T|F}_LatLB{T|F}_SigLB{T|F}' "
+        "(Losses.ipynb grid), e.g. ELBOFalse_LatLBTrue_SigLBFalse; "
+        "only for LNP/AttnLNP/ConvLNP",
+    )
     args = ap.parse_args()
 
     from npf_gwwaveform_tpu.data import (
@@ -90,8 +96,26 @@ def main():
     else:
         sampler = GPSampler(n_points=128, **KERNEL_CONFIGS[args.kernel])
         eval_samplers = [sampler]
-    model = build_model(args.model, dtype=jnp.bfloat16 if args.bf16 else None)
-    criterion = criterion_for(args.model)
+    dtype = jnp.bfloat16 if args.bf16 else None
+    run_name = args.model
+    if args.ablation:
+        from npf_gwwaveform_tpu.configs import gp_model_variant, variant_name
+        from npf_gwwaveform_tpu.losses import ELBOLossLNPF, NLLLossLNPF
+
+        flags = dict(
+            (k[: -len(v)], v == "True")
+            for part in args.ablation.split("_")
+            for k, v in [(part, "True" if part.endswith("True") else "False")]
+        )
+        is_elbo = flags["ELBO"]
+        model = gp_model_variant(
+            args.model, is_elbo, flags["LatLB"], flags["SigLB"], dtype=dtype
+        )
+        criterion = ELBOLossLNPF() if is_elbo else NLLLossLNPF()
+        run_name = variant_name(args.model, is_elbo, flags["LatLB"], flags["SigLB"])
+    else:
+        model = build_model(args.model, dtype=dtype)
+        criterion = criterion_for(args.model)
     splitter = CntxtTrgtSplitter(
         contexts_getter=GetRandomIndcs(a=0.0, b=50), targets_getter=get_all_indcs
     )
@@ -241,7 +265,7 @@ def main():
         ]
     )
 
-    run_dir = os.path.join(args.out, args.kernel, args.model, "run_0")
+    run_dir = os.path.join(args.out, args.kernel, run_name, "run_0")
     os.makedirs(run_dir, exist_ok=True)
     np.savetxt(os.path.join(run_dir, "eval.csv"), lls, delimiter=",")
     # persist best params (reference layout keeps params.pt; ours msgpack)
@@ -250,7 +274,7 @@ def main():
     with open(os.path.join(run_dir, "params.msgpack"), "wb") as f:
         f.write(flax.serialization.to_bytes(jax.device_get(state.params)))
     summary = {
-        "model": args.model,
+        "model": run_name,
         "kernel": args.kernel,
         "mean_test_ll": float(lls.mean()),
         "std_test_ll": float(lls.std()),

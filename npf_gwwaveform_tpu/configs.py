@@ -113,3 +113,59 @@ def gp_criterion(name: str):
     if name == "ConvLNP":
         return NLLLossLNPF()  # NPML
     raise ValueError(name)
+
+
+def gp_model_variant(
+    name: str,
+    is_elbo: bool,
+    is_lat_lb: bool,
+    is_sig_lb: bool,
+    r_dim: int = R_DIM,
+    dtype: Optional[jnp.dtype] = None,
+):
+    """The Losses.ipynb objective-ablation variants (reference cell 6
+    `lnpf_getters` + the ELBO x LatLB x SigLB grid whose eval.csvs populate
+    results/models/RBF_Kernel/{LNP,AttnLNP,ConvLNP}_ELBO*_LatLB*_SigLB*):
+
+    * ELBO (NPVI): is_q_zCct=True, n_z_train=1; NPML: is_q_zCct=False,
+      n_z_train = 32 (LNP) / 8 (AttnLNP) / 16 (ConvLNP);
+    * SigLB: min_sigma_pred = 0.01 (True) vs 1e-4 (False);
+    * LatLB: q_z scale = the default 0.1+0.9*sigmoid (True) vs
+      1e-4+(1-1e-4)*softplus (False);
+    * ConvLNP ablation config differs from the pretrained headline config:
+      z_dim=16, is_global=False, LINEAR x-discarding decoder, n_z_test=16
+      (get_convlnp in Losses.ipynb)."""
+    from flax import linen as nn
+
+    from .ops.encoders import discard_ith_arg
+
+    mle = not is_elbo
+    base = gp_model_1d(name, r_dim=r_dim, dtype=dtype)
+    kwargs = dict(
+        is_q_zCct=not mle,
+        min_sigma_pred=0.01 if is_sig_lb else 1e-4,
+    )
+    if not is_lat_lb:
+        kwargs.update(lat_scale_transform="softplus", min_lat_sigma=1e-4)
+    if name == "LNP":
+        kwargs.update(n_z_samples_train=32 if mle else 1, n_z_samples_test=32)
+    elif name == "AttnLNP":
+        kwargs.update(n_z_samples_train=8 if mle else 1, n_z_samples_test=8)
+    elif name == "ConvLNP":
+        kwargs.update(
+            n_z_samples_train=16 if mle else 1,
+            n_z_samples_test=16,
+            z_dim=16,
+            is_global=False,
+            Decoder=discard_ith_arg(
+                lambda n_out, name=None: nn.Dense(n_out, name=name), i=0
+            ),
+        )
+    else:
+        raise ValueError(f"{name} has no objective-ablation variant")
+    return base.clone(**kwargs)
+
+
+def variant_name(name: str, is_elbo: bool, is_lat_lb: bool, is_sig_lb: bool) -> str:
+    """Reference run-dir naming (Losses.ipynb get_name)."""
+    return f"{name}_ELBO{is_elbo}_LatLB{is_lat_lb}_SigLB{is_sig_lb}"

@@ -54,6 +54,10 @@ class NeuralProcessFamily(nn.Module):
     LatentEncoder: Optional[Callable[[int], nn.Module]] = None
     min_lat_sigma: float = 0.1
     max_lat_sigma_ratio: float = 0.9
+    # q_z scale transform: "sigmoid" = min + ratio*sigmoid (reference default,
+    # base.py:432 — the bounded 'LatLB' form); "softplus" = min +
+    # (1-min)*softplus (the Losses.ipynb LatLBFalse variant with min=1e-4)
+    lat_scale_transform: str = "sigmoid"
     # ---- optional conditioning on global physical parameters (e.g. GW
     # mass/spin, BASELINE.json config 5). 0 disables. When set, __call__
     # accepts `condition [B, cond_dim]`. Two modes:
@@ -255,9 +259,14 @@ class NeuralProcessFamily(nn.Module):
         r_lat = self.rep_to_lat_input(R, mask)
         suffstat = self.latent_encoder(r_lat)
         loc, raw_scale = jnp.split(suffstat, 2, axis=-1)
-        scale = self.min_lat_sigma + self.max_lat_sigma_ratio * jax.nn.sigmoid(
-            raw_scale
-        )
+        if self.lat_scale_transform == "softplus":
+            scale = self.min_lat_sigma + (
+                1.0 - self.min_lat_sigma
+            ) * jax.nn.softplus(raw_scale)
+        else:
+            scale = self.min_lat_sigma + self.max_lat_sigma_ratio * jax.nn.sigmoid(
+                raw_scale
+            )
         return NormalDiag(loc.astype(jnp.float32), scale.astype(jnp.float32))
 
     def rep_to_lat_input(self, R, mask):
