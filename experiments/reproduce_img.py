@@ -54,10 +54,15 @@ def build_model(name, dtype=None):
         )
     if name in POINT_MODELS:
         # the reference's image point models are the 1-D notebook configs
-        # with x_dim=2 (image coordinates), same R_DIM (ntbks add_y_dim)
+        # with x_dim=2 (image coordinates), same R_DIM (ntbks add_y_dim);
+        # image Attn* configs use a self-attention XY encoder instead of the
+        # merge-MLP one (AttnCNP.ipynb model_2d: is_self_attn=True)
         from npf_gwwaveform_tpu.configs import gp_model_1d
 
-        return gp_model_1d(name, dtype=dtype).clone(x_dim=2)
+        model = gp_model_1d(name, dtype=dtype).clone(x_dim=2)
+        if name.startswith("Attn"):
+            model = model.clone(is_self_attn=True, XYEncoder=None)
+        return model
     raise ValueError(name)
 
 
@@ -160,11 +165,17 @@ def main():
     run_dir = os.path.join(args.out, args.dataset, args.model, "run_0")
     os.makedirs(run_dir, exist_ok=True)
     np.savetxt(os.path.join(run_dir, "eval.csv"), lls, delimiter=",")
+    import flax.serialization
+
+    with open(os.path.join(run_dir, "params.msgpack"), "wb") as f:
+        f.write(flax.serialization.to_bytes(jax.device_get(state.params)))
     summary = dict(
         model=args.model, dataset=args.dataset,
         mean_test_ll=float(lls.mean()), n_test=int(lls.size),
         train_seconds=train_time,
         imgs_per_sec=total_steps * args.batch / train_time,
+        epochs=args.epochs,
+        eval_protocol="indep_n",
     )
     with open(os.path.join(run_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
