@@ -41,6 +41,17 @@ def reeval_run(kernel: str, model_name: str, out="results/", n_test=10_000):
     run_dir = os.path.join(out, kernel, model_name, "run_0")
     with open(os.path.join(run_dir, "params.msgpack"), "rb") as f:
         raw = f.read()
+    extra_path = os.path.join(run_dir, "extra_vars.msgpack")
+    raw_extra = None
+    if os.path.exists(extra_path):
+        with open(extra_path, "rb") as f:
+            raw_extra = f.read()
+    if "Conv" in model_name and raw_extra is None:
+        # batchnorm running stats were not persisted: params alone re-eval
+        # with INIT stats and score garbage — refuse rather than clobber
+        print(json.dumps({"kernel": kernel, "model": model_name,
+                          "skipped": "no extra_vars.msgpack (batchnorm stats)"}))
+        return None
 
     if kernel == "All_Kernels":
         eval_samplers = [
@@ -66,6 +77,11 @@ def reeval_run(kernel: str, model_name: str, out="results/", n_test=10_000):
     state = create_train_state(model, tx, eval_splitter(key, x0, y0), seed=0)
     params = flax.serialization.from_bytes(jax.device_get(state.params), raw)
     state = state.replace(params=jax.device_put(params))
+    if raw_extra is not None:
+        extra = flax.serialization.from_bytes(
+            jax.device_get(state.extra_vars), raw_extra
+        )
+        state = state.replace(extra_vars=jax.device_put(extra))
 
     eval_bs = 256
     n_eval_batches = n_test // eval_bs

@@ -273,6 +273,10 @@ def main():
 
     with open(os.path.join(run_dir, "params.msgpack"), "wb") as f:
         f.write(flax.serialization.to_bytes(jax.device_get(state.params)))
+    # batchnorm models (Conv* family) need the trained running statistics
+    # too — params alone re-evals with INIT batch stats and scores garbage
+    with open(os.path.join(run_dir, "extra_vars.msgpack"), "wb") as f:
+        f.write(flax.serialization.to_bytes(jax.device_get(state.extra_vars)))
     summary = {
         "model": run_name,
         "kernel": args.kernel,
