@@ -48,16 +48,46 @@ def build_torch_model(name: str):
             ),
             is_self_attn=False,
         )
+    if name == "ConvCNP":
+        import torch
+
+        from npf.architectures import CNN, SetConv, ResConvBlock, discard_ith_arg
+
+        return npf_torch.ConvCNP(
+            x_dim=1, y_dim=1, r_dim=R,
+            Decoder=discard_ith_arg(
+                partial(MLP, n_hidden_layers=4, hidden_size=R), i=0
+            ),
+            Interpolator=SetConv,
+            CNN=partial(
+                CNN,
+                Conv=torch.nn.Conv1d,
+                Normalization=torch.nn.BatchNorm1d,
+                n_blocks=5,
+                kernel_size=19,
+                ConvBlock=ResConvBlock,
+                is_chan_last=True,
+                n_conv_layers=2,
+            ),
+            density_induced=64,
+        )
     raise ValueError(name)
 
 
 def port(name: str, tm):
-    from npf_gwwaveform_tpu.utils.port import port_attncnp_transformer, port_cnp
+    """Returns (params, extra_vars)."""
+    from npf_gwwaveform_tpu.utils.port import (
+        port_attncnp_transformer,
+        port_cnp,
+        port_convcnp_pretrained,
+    )
 
     if name == "CNP":
-        return port_cnp(tm)
+        return port_cnp(tm), {}
     if name == "AttnCNP":
-        return port_attncnp_transformer(tm)
+        return port_attncnp_transformer(tm), {}
+    if name == "ConvCNP":
+        return port_convcnp_pretrained(tm)
     raise ValueError(name)
 
 
@@ -74,7 +104,7 @@ def main():
     tm = build_torch_model(args.model)
     tm.load_state_dict(torch.load(ckpt, map_location="cpu"))
     tm.eval()
-    params = port(args.model, tm)
+    params, extra_vars = port(args.model, tm)
 
     ref_eval = np.loadtxt(os.path.dirname(ckpt) + "/eval.csv", delimiter=",")
 
@@ -105,6 +135,8 @@ def main():
     x0, y0 = sampler.sample(key, 32)
     state = create_train_state(model, tx, splitter(key, x0, y0), seed=0)
     state = state.replace(params=jax.device_get(params))
+    if extra_vars:
+        state = state.replace(extra_vars=jax.device_get(extra_vars))
 
     # identical eval protocol to reproduce_gp.py (same keys => same test fns)
     eval_bs = 256

@@ -206,6 +206,11 @@ def main():
         try:
             carry, chunk_losses = run_super(carry, jax.random.PRNGKey(1000 + s))
             jax.block_until_ready(chunk_losses)
+            # the snapshot itself can hit a dropped-device error too — keep
+            # it INSIDE the retry guard (observed: FAILED_PRECONDITION from
+            # device_get after a successful super)
+            carry_host = jax.device_get(carry)
+            cl_host = np.asarray(chunk_losses)
         except Exception as e:  # dropped execution: retry from host snapshot
             retries += 1
             if retries > 5:
@@ -214,8 +219,7 @@ def main():
             time.sleep(5)
             carry = jax.device_put(carry_host)
             continue
-        carry_host = jax.device_get(carry)
-        cl = np.asarray(chunk_losses)
+        cl = cl_host
         if first_last[0] is None:
             first_last[0] = float(cl[0])
         first_last[1] = float(cl[-1])

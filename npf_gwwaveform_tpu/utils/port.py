@@ -102,6 +102,50 @@ def port_cnn(cnn) -> Dict:
     }
 
 
+def port_batchnorm(bn):
+    """torch BatchNorm1d -> (flax affine params, flax batch_stats)."""
+    params = {"scale": _t2j(bn.weight), "bias": _t2j(bn.bias)}
+    stats = {"mean": _t2j(bn.running_mean), "var": _t2j(bn.running_var)}
+    return params, stats
+
+
+def port_res_conv_block_bn(block):
+    """Reference ResConvBlock with n_conv_layers=2 + BatchNorm (the notebook
+    benchmark CNN config, cnn.py:126-215). Returns (params, batch_stats)."""
+    p1, s1 = port_batchnorm(block.norm1)
+    p2, s2 = port_batchnorm(block.norm2)
+    params = {
+        "conv1": {
+            "depthwise": port_conv1d(block.conv1.depthwise),
+            "pointwise": port_conv1d(block.conv1.pointwise),
+        },
+        "conv2_depthwise": port_conv1d(block.conv2_depthwise),
+        "conv2_pointwise": port_conv1d(block.conv2_pointwise),
+        "norm1": p1,
+        "norm2": p2,
+    }
+    return params, {"norm1": s1, "norm2": s2}
+
+
+def port_convcnp_pretrained(torch_model):
+    """Full notebook-config ConvCNP (BatchNorm + n_conv_layers=2, e.g. the
+    reference's results/pretrained/*/ConvCNP checkpoints). Returns
+    (params, extra_vars) where extra_vars carries the running batch stats —
+    strict-parity eval must run with train=False (SURVEY §7.3)."""
+    blocks, stats = {}, {}
+    for i, b in enumerate(torch_model.induced_to_induced.conv_blocks):
+        p, s = port_res_conv_block_bn(b)
+        blocks[f"block_{i}"] = p
+        stats[f"block_{i}"] = s
+    params = {
+        "cntxt_to_induced": port_setconv(torch_model.cntxt_to_induced),
+        "induced_to_induced": blocks,
+        "induced_to_trgt": port_setconv(torch_model.induced_to_trgt),
+        "decoder": {"MLP_0": port_mlp(torch_model.decoder.destination)},
+    }
+    return params, {"batch_stats": {"induced_to_induced": stats}}
+
+
 def port_cnp(torch_model) -> Dict:
     return {
         "x_encoder": port_mlp(torch_model.x_encoder),
