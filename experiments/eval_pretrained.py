@@ -48,6 +48,22 @@ def build_torch_model(name: str):
             ),
             is_self_attn=False,
         )
+    if name == "LNP":
+        return npf_torch.LNP(
+            x_dim=1, y_dim=1, r_dim=R, is_q_zCct=True,
+            n_z_samples_train=1, n_z_samples_test=32,
+            XYEncoder=merge_flat_input(
+                partial(MLP, n_hidden_layers=2, hidden_size=2 * R), is_sum_merge=True
+            ),
+        )
+    if name == "AttnLNP":
+        return npf_torch.AttnLNP(
+            x_dim=1, y_dim=1, r_dim=R, attention="transformer",
+            is_q_zCct=True, n_z_samples_train=1, n_z_samples_test=8,
+            XYEncoder=merge_flat_input(
+                partial(MLP, n_hidden_layers=2, hidden_size=R), is_sum_merge=True
+            ),
+        )
     if name == "ConvCNP":
         import torch
 
@@ -88,6 +104,14 @@ def port(name: str, tm):
         return port_attncnp_transformer(tm), {}
     if name == "ConvCNP":
         return port_convcnp_pretrained(tm)
+    if name == "LNP":
+        from npf_gwwaveform_tpu.utils.port_latent import port_lnp
+
+        return port_lnp(tm), {}
+    if name == "AttnLNP":
+        from npf_gwwaveform_tpu.utils.port_latent import port_attnlnp
+
+        return port_attnlnp(tm), {}
     raise ValueError(name)
 
 

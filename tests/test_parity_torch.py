@@ -191,3 +191,32 @@ def test_res_normalized_conv_block_parity():
     out_j = np.moveaxis(np.asarray(out_j), -1, 1)
 
     np.testing.assert_allclose(out_j, out_t, atol=1e-4, rtol=1e-3)
+
+
+def test_res_conv_block_batchnorm_parity():
+    """ResConvBlock with BatchNorm + n_conv_layers=2 (the notebook benchmark
+    CNN config): ported weights AND running stats must reproduce the torch
+    eval-mode forward — this is the path the pretrained Conv* checkpoints
+    run through (port_res_conv_block_bn / port_convcnp_pretrained)."""
+    from npf.architectures import ResConvBlock as TorchRes
+
+    from npf_gwwaveform_tpu.ops.cnn import ResConvBlock
+    from npf_gwwaveform_tpu.utils.port import port_res_conv_block_bn
+
+    torch.manual_seed(7)
+    tb = TorchRes(R, R, Conv=torch.nn.Conv1d, kernel_size=19,
+                  Normalization=torch.nn.BatchNorm1d, n_conv_layers=2)
+    tb.eval()
+    with torch.no_grad():
+        tb.norm1.running_mean.uniform_(-0.5, 0.5)
+        tb.norm1.running_var.uniform_(0.5, 2.0)
+        tb.norm2.running_mean.uniform_(-0.5, 0.5)
+        tb.norm2.running_var.uniform_(0.5, 2.0)
+
+    p, s = port_res_conv_block_bn(tb)
+    jb = ResConvBlock(out_chan=R, kernel_size=19, n_conv_layers=2, norm="batch")
+    x = np.random.default_rng(0).normal(size=(2, 50, R)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tb(torch.from_numpy(x.transpose(0, 2, 1))).numpy().transpose(0, 2, 1)
+    j_out = jb.apply({"params": p, "batch_stats": s}, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(j_out), t_out, atol=1e-3, rtol=1e-3)
