@@ -145,7 +145,18 @@ def main():
     from npf_gwwaveform_tpu.data.gp import KERNEL_CONFIGS
     from npf_gwwaveform_tpu.training import Trainer, create_train_state, make_optimizer
 
-    sampler = GPSampler(n_points=128, **KERNEL_CONFIGS[args.kernel])
+    if args.kernel == "All_Kernels":
+        from npf_gwwaveform_tpu.data.gp import MixtureGPSampler
+
+        comp = [
+            GPSampler(n_points=128, **KERNEL_CONFIGS[k])
+            for k in ("RBF_Kernel", "Periodic_Kernel", "Noisy_Matern_Kernel")
+        ]
+        sampler = MixtureGPSampler(components=tuple(comp))
+        eval_samplers = comp
+    else:
+        sampler = GPSampler(n_points=128, **KERNEL_CONFIGS[args.kernel])
+        eval_samplers = [sampler]
     model = build_model(args.model)
     criterion = criterion_for(args.model)
     splitter = CntxtTrgtSplitter(
@@ -167,16 +178,23 @@ def main():
     n_eval_batches = args.n_test // eval_bs
     k_data, k_split = jax.random.split(jax.random.PRNGKey(123))
 
-    @jax.jit
-    def run_eval(state):
-        def body(_, i):
-            x, y = sampler.sample(jax.random.fold_in(k_data, i), eval_bs)
-            return None, trainer._eval_step(state, x, y, jax.random.fold_in(k_split, i))
+    def make_run_eval(ev_sampler, comp):
+        @jax.jit
+        def run_eval(state):
+            def body(_, i):
+                kd = k_data if comp == 0 else jax.random.fold_in(k_data, comp)
+                ks = k_split if comp == 0 else jax.random.fold_in(k_split, comp)
+                x, y = ev_sampler.sample(jax.random.fold_in(kd, i), eval_bs)
+                return None, trainer._eval_step(state, x, y, jax.random.fold_in(ks, i))
 
-        _, nlls = jax.lax.scan(body, None, jnp.arange(n_eval_batches))
-        return -nlls.reshape(-1)
+            _, nlls = jax.lax.scan(body, None, jnp.arange(n_eval_batches))
+            return -nlls.reshape(-1)
 
-    lls = np.asarray(run_eval(state))
+        return run_eval
+
+    lls = np.concatenate(
+        [np.asarray(make_run_eval(ev, c)(state)) for c, ev in enumerate(eval_samplers)]
+    )
     print(
         json.dumps(
             {
