@@ -59,6 +59,25 @@ def test_random_indcs_count_distribution(key):
         assert not np.array_equal(np.asarray(mask[0]), np.asarray(mask[1]))
 
 
+def test_random_indcs_indep_n(key):
+    """is_indep_n: the count is drawn PER ELEMENT with the same U{a..b}
+    marginal (the unbiased eval protocol; see GetRandomIndcs docstring)."""
+    import jax
+
+    g = GetRandomIndcs(a=0, b=50, is_indep_n=True)
+    counts = []
+    for i in range(64):
+        mask = g(jax.random.fold_in(key, i), 32, 128)
+        counts.append(np.asarray(mask.sum(-1)))
+    counts = np.concatenate(counts)  # 2048 per-element counts
+    assert counts.min() >= 0 and counts.max() <= 50
+    # per-element counts vary within a batch
+    assert len(np.unique(counts[:32])) > 5
+    # unbiased marginal: mean within 3 SE of 25
+    se = counts.std() / np.sqrt(counts.size)
+    assert abs(counts.mean() - 25.0) < 3 * se + 1.0
+
+
 def test_splitter_shapes(key):
     s = GPSampler(kernel="rbf", n_points=64)
     x, y = s.sample(key, 8)
