@@ -25,7 +25,7 @@ sys.path.insert(0, "/root/reference")
 import numpy as np
 
 
-def build_torch_model(name: str):
+def build_torch_model(name: str, cnn_kernel_size: int = 19):
     """The reference notebooks' 1-D configs (CNP.ipynb cell 7 etc.)."""
     from functools import partial
 
@@ -80,7 +80,7 @@ def build_torch_model(name: str):
                 Conv=torch.nn.Conv1d,
                 Normalization=torch.nn.BatchNorm1d,
                 n_blocks=5,
-                kernel_size=19,
+                kernel_size=cnn_kernel_size,
                 ConvBlock=ResConvBlock,
                 is_chan_last=True,
                 n_conv_layers=2,
@@ -125,8 +125,12 @@ def main():
     import torch
 
     ckpt = f"/root/reference/results/pretrained/{args.kernel}/{args.model}/run_0/params.pt"
-    tm = build_torch_model(args.model)
-    tm.load_state_dict(torch.load(ckpt, map_location="cpu"))
+    sd = torch.load(ckpt, map_location="cpu")
+    # the Matern ConvCNP checkpoint uses k=15 (others k=19): read it off
+    dw = "induced_to_induced.conv_blocks.0.conv1.depthwise.weight"
+    cnn_ks = int(sd[dw].shape[-1]) if dw in sd else 19
+    tm = build_torch_model(args.model, cnn_kernel_size=cnn_ks)
+    tm.load_state_dict(sd)
     tm.eval()
     params, extra_vars = port(args.model, tm)
 
@@ -157,7 +161,12 @@ def main():
     else:
         sampler = GPSampler(n_points=128, **KERNEL_CONFIGS[args.kernel])
         eval_samplers = [sampler]
-    model = build_model(args.model)
+    from npf_gwwaveform_tpu.configs import gp_model_1d
+
+    # cnn_norm_eps=1e-5: the pretrained checkpoints use torch's BatchNorm
+    # default; our 1e-3 stability bump would distort their razor-sharp
+    # running variances (min observed 2.5e-4)
+    model = gp_model_1d(args.model, cnn_kernel_size=cnn_ks, cnn_norm_eps=1e-5)
     criterion = criterion_for(args.model)
     splitter = CntxtTrgtSplitter(
         contexts_getter=GetRandomIndcs(a=0.0, b=50, is_indep_n=True),

@@ -23,7 +23,11 @@ import jax.numpy as jnp
 from ..utils import init as winit
 
 
-def _norm_layer(norm: str, name: str):
+def _norm_layer(norm: str, name: str, eps: float = 1e-3):
+    """eps default is OUR training-stability bump (the reference's own
+    ConvCNP notebook bumps BatchNorm eps after NaNs; torch's default is
+    1e-5). For strict parity with the reference's pretrained 1-D
+    checkpoints — trained at torch's default — pass eps=1e-5."""
     if norm in (None, "identity"):
         return lambda x, train=True: x
     if norm == "layer":
@@ -31,7 +35,7 @@ def _norm_layer(norm: str, name: str):
         return lambda x, train=True: ln(x)
     if norm == "batch":
         bn = nn.BatchNorm(
-            use_running_average=None, momentum=0.9, epsilon=1e-3, name=name
+            use_running_average=None, momentum=0.9, epsilon=eps, name=name
         )
         return lambda x, train=True: bn(x, use_running_average=not train)
     raise ValueError(f"Unknown norm={norm}")
@@ -79,11 +83,12 @@ class ConvBlock(nn.Module):
     norm: Optional[str] = None
     activation: Callable = nn.relu
     padding: str = "SAME"
+    norm_eps: float = 1e-3
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
-        x = _norm_layer(self.norm, "norm")(x, train)
+        x = _norm_layer(self.norm, "norm", self.norm_eps)(x, train)
         x = self.activation(x)
         return DepthSepConv(
             self.out_chan, self.kernel_size, padding=self.padding,
@@ -103,6 +108,7 @@ class ResConvBlock(nn.Module):
     n_conv_layers: int = 1
     is_bias: bool = True
     padding: str = "SAME"  # "CIRCULAR" gives full translation equivariance
+    norm_eps: float = 1e-3
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -115,7 +121,7 @@ class ResConvBlock(nn.Module):
 
         out = x
         if self.n_conv_layers == 2:
-            out = _norm_layer(self.norm, "norm1")(out, train)
+            out = _norm_layer(self.norm, "norm1", self.norm_eps)(out, train)
             out = self.activation(out)
             out = DepthSepConv(
                 in_chan,
@@ -126,7 +132,7 @@ class ResConvBlock(nn.Module):
                 name="conv1",
             )(out)
 
-        out = _norm_layer(self.norm, "norm2")(out, train)
+        out = _norm_layer(self.norm, "norm2", self.norm_eps)(out, train)
         out = self.activation(out)
         out = nn.Conv(
             in_chan,
