@@ -158,6 +158,11 @@ def main():
     # sweep: 2.1x the batch-32 rate, 512 regresses); data is generated on
     # device so batch scaling is accuracy-neutral free throughput
     ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument(
+        "--inner", type=int, default=50,
+        help="train steps fused per dispatch (lax.scan length); higher "
+        "amortizes tunnel dispatch latency further",
+    )
     args = ap.parse_args()
 
     if args.detail:
@@ -187,7 +192,7 @@ def main():
             json.dump(detail, f, indent=2)
         return
 
-    r = measure(batch_size=args.batch)
+    r = measure(batch_size=args.batch, n_inner=args.inner)
     line = {
         "metric": "gw_convcnp_train_throughput",
         "value": r["waveforms_per_sec_per_chip"],

@@ -64,6 +64,30 @@ def build_torch_model(name: str, cnn_kernel_size: int = 19):
                 partial(MLP, n_hidden_layers=2, hidden_size=R), is_sum_merge=True
             ),
         )
+    if name == "ConvLNP":
+        import torch
+
+        from npf.architectures import CNN, SetConv, ResConvBlock, discard_ith_arg
+
+        # ConvLNP.ipynb 1-D config
+        return npf_torch.ConvLNP(
+            x_dim=1, y_dim=1, r_dim=R,
+            is_q_zCct=False, n_z_samples_train=16, n_z_samples_test=32,
+            Decoder=discard_ith_arg(torch.nn.Linear, i=0),
+            Interpolator=SetConv,
+            CNN=partial(
+                CNN,
+                Conv=torch.nn.Conv1d,
+                Normalization=torch.nn.BatchNorm1d,
+                n_blocks=4,
+                kernel_size=cnn_kernel_size,
+                ConvBlock=ResConvBlock,
+                is_chan_last=True,
+                n_conv_layers=2,
+            ),
+            density_induced=64,
+            is_global=True,
+        )
     if name == "ConvCNP":
         import torch
 
@@ -112,6 +136,10 @@ def port(name: str, tm):
         from npf_gwwaveform_tpu.utils.port_latent import port_attnlnp
 
         return port_attnlnp(tm), {}
+    if name == "ConvLNP":
+        from npf_gwwaveform_tpu.utils.port_latent import port_convlnp_pretrained
+
+        return port_convlnp_pretrained(tm)
     raise ValueError(name)
 
 

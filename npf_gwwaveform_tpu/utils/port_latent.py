@@ -18,7 +18,12 @@ from .port import (
     port_setconv,
 )
 
-__all__ = ["port_lnp", "port_attnlnp", "port_convlnp"]
+__all__ = [
+    "port_lnp",
+    "port_attnlnp",
+    "port_convlnp",
+    "port_convlnp_pretrained",
+]
 
 
 def _port_latent_bits(torch_model) -> Dict:
@@ -81,6 +86,41 @@ def port_attnlnp(torch_model) -> Dict:
     d = port_attncnp_transformer(torch_model)
     d.update(_port_latent_bits(torch_model))
     return d
+
+
+def port_convlnp_pretrained(torch_model):
+    """Notebook-config ConvLNP (ConvLNP.ipynb: BatchNorm CNNs, 4 blocks each,
+    Linear decoder, is_global=True), e.g. the reference's
+    results/pretrained/*/ConvLNP checkpoints. Returns (params, extra_vars)
+    with the running batch stats of BOTH CNNs — strict-parity eval must run
+    train=False."""
+    from .port import port_res_conv_block_bn
+
+    def cnn_bn(cnn):
+        blocks, stats = {}, {}
+        for i, b in enumerate(cnn.conv_blocks):
+            p, s = port_res_conv_block_bn(b)
+            blocks[f"block_{i}"] = p
+            stats[f"block_{i}"] = s
+        return blocks, stats
+
+    b1, s1 = cnn_bn(torch_model.induced_to_induced)
+    b2, s2 = cnn_bn(torch_model.induced_to_induced_post_sampling)
+    params = {
+        "cntxt_to_induced": port_setconv(torch_model.cntxt_to_induced),
+        "induced_to_induced": b1,
+        "induced_to_induced_post_sampling": b2,
+        "induced_to_trgt": port_setconv(torch_model.induced_to_trgt),
+        "decoder": {"Dense_0": port_linear(torch_model.decoder.destination)},
+        **_port_latent_bits(torch_model),
+    }
+    extra = {
+        "batch_stats": {
+            "induced_to_induced": s1,
+            "induced_to_induced_post_sampling": s2,
+        }
+    }
+    return params, extra
 
 
 def port_convlnp(torch_model) -> Dict:
