@@ -1,0 +1,114 @@
+"""Assemble the three-way quality table: reference recorded vs ported
+checkpoint bar vs our trained runs.
+
+Sources:
+* recorded — the reference's checked-in eval.csv means
+  (/root/reference/results/pretrained/{kernel}/{model}/run_0/eval.csv).
+* bar — results/ported_bars.jsonl (reference checkpoints scored under our
+  eval; experiments/eval_pretrained.py).
+* ours — results/{kernel}/{model}/run_0/summary.json.
+
+Usage: python experiments/results_table.py [--markdown]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+
+import numpy as np
+
+KERNELS = [
+    "RBF_Kernel",
+    "Periodic_Kernel",
+    "Noisy_Matern_Kernel",
+    "Matern_Kernel",
+    "Variable_Matern_Kernel",
+    "All_Kernels",
+]
+MODELS = ["CNP", "LNP", "AttnCNP", "AttnLNP", "ConvCNP", "ConvLNP"]
+REF_ROOT = "/root/reference/results/pretrained"
+
+
+def load_recorded(kernel, model):
+    p = f"{REF_ROOT}/{kernel}/{model}/run_0/eval.csv"
+    if not os.path.exists(p):
+        return None
+    return float(np.loadtxt(p, delimiter=",").mean())
+
+
+def load_bars(path="results/ported_bars.jsonl"):
+    bars = {}
+    if os.path.exists(path):
+        for line in open(path):
+            r = json.loads(line)
+            if "ported_pretrained_mean_ll" in r:
+                bars[(r["kernel"], r["model"])] = r["ported_pretrained_mean_ll"]
+    return bars
+
+
+def load_ours(kernel, model):
+    p = f"results/{kernel}/{model}/run_0/summary.json"
+    if not os.path.exists(p):
+        return None, None
+    d = json.load(open(p))
+    return d.get("mean_test_ll"), d
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--markdown", action="store_true")
+    args = ap.parse_args()
+
+    bars = load_bars()
+    rows = []
+    for k in KERNELS:
+        for m in MODELS:
+            rec = load_recorded(k, m)
+            bar = bars.get((k, m))
+            ours, meta = load_ours(k, m)
+            if rec is None and bar is None and ours is None:
+                continue
+            note = ""
+            if meta:
+                ep = meta.get("epochs")
+                proto = meta.get("eval_protocol", "old")
+                note = f"{ep}ep" + ("" if proto == "indep_n" else f",{proto}")
+            beats_bar = ours is not None and bar is not None and ours >= bar
+            beats_rec = ours is not None and rec is not None and ours >= rec
+            rows.append((k, m, rec, bar, ours, note, beats_rec, beats_bar))
+
+    def fmt(v):
+        return f"{v:9.2f}" if v is not None else "        —"
+
+    if args.markdown:
+        print("| Kernel | Model | Recorded | Ported bar | Ours | Notes |")
+        print("|---|---|---|---|---|---|")
+        for k, m, rec, bar, ours, note, br, bb in rows:
+            bold = ours is not None and (bb or (bar is None and br))
+            o = "—" if ours is None else (f"**{ours:.2f}**" if bold else f"{ours:.2f}")
+            r = "—" if rec is None else f"{rec:.2f}"
+            b = "—" if bar is None else f"{bar:.2f}"
+            print(f"| {k.replace('_Kernel', '')} | {m} | {r} | {b} | {o} | {note} |")
+    else:
+        print(f"{'kernel':24s} {'model':8s} {'recorded':>9s} {'bar':>9s} {'ours':>9s}  notes")
+        n_beat_bar = n_with_bar = n_beat_rec = n_with_rec = 0
+        for k, m, rec, bar, ours, note, br, bb in rows:
+            if ours is not None and bar is not None:
+                n_with_bar += 1
+                n_beat_bar += bb
+            if ours is not None and rec is not None:
+                n_with_rec += 1
+                n_beat_rec += br
+            star = " *" if bb else ""
+            print(f"{k:24s} {m:8s} {fmt(rec)} {fmt(bar)} {fmt(ours)}  {note}{star}")
+        print(
+            f"\nours >= bar: {n_beat_bar}/{n_with_bar}   "
+            f"ours >= recorded: {n_beat_rec}/{n_with_rec}"
+        )
+
+
+if __name__ == "__main__":
+    main()
