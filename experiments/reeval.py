@@ -63,7 +63,14 @@ def reeval_run(kernel: str, model_name: str, out="results/", n_test=10_000):
         sampler = GPSampler(n_points=128, **KERNEL_CONFIGS[kernel])
         eval_samplers = [sampler]
 
-    model = build_model(model_name)
+    # rebuild at the eps the run was trained with (summary.norm_eps;
+    # runs predating the knob trained at the 1e-3 default)
+    norm_eps = 1e-3
+    spath0 = os.path.join(run_dir, "summary.json")
+    if os.path.exists(spath0):
+        with open(spath0) as f:
+            norm_eps = json.load(f).get("norm_eps", 1e-3)
+    model = build_model(model_name, norm_eps=norm_eps)
     criterion = criterion_for(model_name)
     eval_splitter = CntxtTrgtSplitter(
         contexts_getter=GetRandomIndcs(a=0.0, b=50, is_indep_n=True),

@@ -30,12 +30,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_model(name: str, dtype=None):
+def build_model(name: str, dtype=None, norm_eps=1e-3):
     """Notebook-parity architectures (parameter counts verified equal to the
     reference's notebook configs — see npf_gwwaveform_tpu/configs.py)."""
     from npf_gwwaveform_tpu.configs import gp_model_1d
 
-    return gp_model_1d(name, dtype=dtype)
+    return gp_model_1d(name, dtype=dtype, cnn_norm_eps=norm_eps)
 
 
 def criterion_for(name: str):
@@ -68,6 +68,19 @@ def main():
         help="chunks (x50 steps) per dispatch; smaller for heavy models",
     )
     ap.add_argument(
+        "--init", choices=["intended", "realized"], default="intended",
+        help="weight-init scheme: 'intended' = the reference's documented "
+        "activation-gain init; 'realized' = what its init code actually "
+        "does (torch defaults everywhere except MLP out layers — see "
+        "utils/init.py docstring)",
+    )
+    ap.add_argument(
+        "--norm-eps", type=float, default=1e-3,
+        help="BatchNorm eps for conv-family CNNs (our stability default "
+        "1e-3; the reference trained at torch's 1e-5 — sharper scales on "
+        "noise-free kernels)",
+    )
+    ap.add_argument(
         "--ablation", default=None,
         help="objective-ablation variant 'ELBO{T|F}_LatLB{T|F}_SigLB{T|F}' "
         "(Losses.ipynb grid), e.g. ELBOFalse_LatLBTrue_SigLBFalse; "
@@ -96,6 +109,9 @@ def main():
     else:
         sampler = GPSampler(n_points=128, **KERNEL_CONFIGS[args.kernel])
         eval_samplers = [sampler]
+    from npf_gwwaveform_tpu.utils import init as winit
+
+    winit.set_realized_init(args.init == "realized")
     dtype = jnp.bfloat16 if args.bf16 else None
     run_name = args.model
     if args.ablation:
@@ -114,7 +130,7 @@ def main():
         criterion = ELBOLossLNPF() if is_elbo else NLLLossLNPF()
         run_name = variant_name(args.model, is_elbo, flags["LatLB"], flags["SigLB"])
     else:
-        model = build_model(args.model, dtype=dtype)
+        model = build_model(args.model, dtype=dtype, norm_eps=args.norm_eps)
         criterion = criterion_for(args.model)
     splitter = CntxtTrgtSplitter(
         contexts_getter=GetRandomIndcs(a=0.0, b=50), targets_getter=get_all_indcs
@@ -291,6 +307,8 @@ def main():
         "fns_per_sec": args.epochs * args.fns_per_epoch / train_time,
         "epochs": args.epochs,
         "eval_protocol": "indep_n",
+        "norm_eps": args.norm_eps,
+        "init": args.init,
     }
     with open(os.path.join(run_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)

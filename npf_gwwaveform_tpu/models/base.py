@@ -23,6 +23,8 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import flax.linen as nn
+
+from ..utils import init as winit
 import jax
 import jax.numpy as jnp
 
@@ -143,11 +145,13 @@ class NeuralProcessFamily(nn.Module):
             )
             if self.encoded_path == "both":
                 self.r_z_merger = nn.Dense(
-                    self.r_dim, dtype=self.dtype, name="r_z_merger"
+                    self.r_dim, dtype=self.dtype, name="r_z_merger",
+                    kernel_init=winit.switchable(nn.initializers.lecun_normal()),
                 )
             if self._z_dim != self.r_dim and self.encoded_path == "latent":
                 self.reshaper_z = nn.Dense(
-                    self.r_dim, dtype=self.dtype, name="reshaper_z"
+                    self.r_dim, dtype=self.dtype, name="reshaper_z",
+                    kernel_init=winit.switchable(nn.initializers.lecun_normal()),
                 )
 
         if self.cond_dim > 0:

@@ -18,6 +18,8 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import flax.linen as nn
+
+from ..utils import init as winit
 import jax
 import jax.numpy as jnp
 
@@ -62,7 +64,10 @@ class GridConvCNP(ConvCNP):
             dtype=self.dtype,
             name="conv",
         )
-        self.resizer = nn.Dense(self.r_dim, dtype=self.dtype, name="resizer")
+        self.resizer = nn.Dense(
+            self.r_dim, dtype=self.dtype, name="resizer",
+            kernel_init=winit.switchable(nn.initializers.lecun_normal()),
+        )
         self.induced_to_induced = self._make_cnn("induced_to_induced")
 
     def cntxt_to_induced(self, mask_cntxt_grid, y_grid):

@@ -48,7 +48,7 @@ def _apply_attn(
 def _maybe_resize(context, value_size, out_size, dtype=None):
     if value_size != out_size:
         context = nn.Dense(
-            out_size, kernel_init=winit.xavier_uniform, dtype=dtype, name="resizer"
+            out_size, kernel_init=winit.switchable(winit.xavier_uniform), dtype=dtype, name="resizer"
         )(context)
     return context
 
@@ -88,7 +88,7 @@ class MultiplicativeAttender(nn.Module):
         q = nn.Dense(
             queries.shape[-1],
             use_bias=False,
-            kernel_init=winit.kaiming_uniform_relu,
+            kernel_init=winit.switchable(winit.kaiming_uniform_relu),
             dtype=self.dtype,
             name="linear",
         )(queries)
@@ -150,7 +150,7 @@ class DistanceAttender(nn.Module):
         if self.is_weight:
             diff = nn.Dense(
                 keys.shape[-1],
-                kernel_init=winit.kaiming_uniform_relu,
+                kernel_init=winit.switchable(winit.kaiming_uniform_relu),
                 dtype=self.dtype,
                 name="weighter",
             )(diff)
@@ -242,7 +242,7 @@ class MultiheadAttender(nn.Module):
         if self.is_post_process or self.value_size != self.out_size:
             ctx = nn.Dense(
                 self.out_size,
-                kernel_init=winit.xavier_uniform,
+                kernel_init=winit.switchable(winit.xavier_uniform),
                 dtype=self.dtype,
                 name="post_processor",
             )(ctx)

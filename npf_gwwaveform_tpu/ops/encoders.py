@@ -66,7 +66,7 @@ class RelativeSinusoidalEncodings(nn.Module):
         scaled = diff * 2.0 / self.window_size - 1.0
         out = SinusoidalEncodings(self.out_dim)(scaled)
         out = nn.Dense(
-            self.out_dim, use_bias=False, kernel_init=winit.xavier_uniform
+            self.out_dim, use_bias=False, kernel_init=winit.switchable(winit.xavier_uniform)
         )(out)
         in_window = jnp.all(diff < self.window_size, axis=-1, keepdims=True)
         return out * in_window.astype(out.dtype)

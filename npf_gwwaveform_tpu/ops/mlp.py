@@ -78,4 +78,7 @@ class MLP(nn.Module):
                 out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
             x = out
 
-        return dense(self.output_size, winit.xavier_uniform, "out")(x)
+        # intended: xavier (linear_init(None)); realized: kaiming-relu — the
+        # one branch the reference actually reaches (mlp.py:115 passes the
+        # STRING default "relu")
+        return dense(self.output_size, winit.mlp_out_init, "out")(x)

@@ -61,7 +61,7 @@ class SelfAttention(nn.Module):
         if self.out_dim is not None:
             out = nn.Dense(
                 self.out_dim,
-                kernel_init=winit.xavier_uniform,
+                kernel_init=winit.switchable(winit.xavier_uniform),
                 dtype=self.dtype,
                 name="resize",
             )(out)

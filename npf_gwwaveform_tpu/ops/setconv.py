@@ -185,7 +185,7 @@ class SetConv(nn.Module):
 
         return nn.Dense(
             self.out_channels,
-            kernel_init=winit.xavier_uniform,
+            kernel_init=winit.switchable(winit.xavier_uniform),
             dtype=self.dtype,
             name="resizer",
         )(targets)

@@ -154,3 +154,45 @@ def test_masked_loss_ignores_padding(rng):
 
 
 import scipy.special  # noqa: E402
+
+
+def test_realized_init_matches_torch_defaults():
+    """The 'realized' init scheme must reproduce the reference's ACTUAL
+    init (torch defaults everywhere except MLP out layers — the reference's
+    get_activation_name/weights_init bugs make its documented activation-gain
+    init dead code; see utils/init.py docstring). Golden stds measured from
+    torch: hidden Linear(128->128) ~0.051 (U(+-1/sqrt(128))), MLP out
+    ~0.125 (kaiming-relu), Linear(1->128) ~0.577."""
+    import jax
+    import jax.numpy as jnp
+
+    from npf_gwwaveform_tpu.configs import gp_model_1d
+    from npf_gwwaveform_tpu.utils import init as winit
+
+    def stds(realized):
+        winit.set_realized_init(realized)
+        try:
+            m = gp_model_1d("AttnCNP")
+            v = m.init(
+                {"params": jax.random.PRNGKey(0), "latent": jax.random.PRNGKey(1)},
+                jnp.zeros((2, 5, 1)), jnp.zeros((2, 5, 1)), jnp.zeros((2, 7, 1)),
+                mask_cntxt=jnp.ones((2, 5)), mask_trgt=jnp.ones((2, 7)),
+                train=False,
+            )["params"]
+        finally:
+            winit.set_realized_init(False)
+        return (
+            float(jnp.std(v["xy_encoder"]["MLP_0"]["to_hidden"]["kernel"])),
+            float(jnp.std(v["xy_encoder"]["MLP_0"]["out"]["kernel"])),
+            float(jnp.std(v["x_encoder"]["to_hidden"]["kernel"])),
+        )
+
+    hid, out, xenc = stds(realized=True)
+    assert abs(hid - 0.051) < 0.006, hid     # torch default U(+-1/sqrt(128))
+    assert abs(out - 0.125) < 0.012, out     # kaiming-relu U(+-sqrt(6/128))
+    assert abs(xenc - 0.577) < 0.06, xenc    # torch default U(+-1), fan_in=1
+
+    hid_i, out_i, xenc_i = stds(realized=False)
+    assert abs(hid_i - 0.125) < 0.012, hid_i  # intended kaiming-relu
+    assert abs(out_i - 0.088) < 0.01, out_i   # intended xavier
+    assert abs(xenc_i - 1.414) < 0.15, xenc_i  # intended kaiming-relu fan_in=1
