@@ -158,8 +158,11 @@ def main():
     # sweep: 2.1x the batch-32 rate, 512 regresses); data is generated on
     # device so batch scaling is accuracy-neutral free throughput
     ap.add_argument("--batch", type=int, default=256)
+    # 200 = measured sweet spot of the dispatch-amortization sweep on v5e
+    # (50: 124.3k, 100: 129.4k, 200: 132.3k, 400: 133.6k wf/s — asymptote;
+    # 200 keeps per-dispatch latency reasonable for ~the same throughput)
     ap.add_argument(
-        "--inner", type=int, default=50,
+        "--inner", type=int, default=200,
         help="train steps fused per dispatch (lax.scan length); higher "
         "amortizes tunnel dispatch latency further",
     )
