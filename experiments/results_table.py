@@ -91,7 +91,7 @@ def main():
             o = "—" if ours is None else (f"**{ours:.2f}**" if bold else f"{ours:.2f}")
             r = "—" if rec is None else f"{rec:.2f}"
             b = "—" if bar is None else f"{bar:.2f}"
-            print(f"| {k.replace('_Kernel', '')} | {m} | {r} | {b} | {o} | {note} |")
+            print(f"| {k.replace('_Kernel', '') if k != 'All_Kernels' else 'All_Kernels'} | {m} | {r} | {b} | {o} | {note} |")
     else:
         print(f"{'kernel':24s} {'model':8s} {'recorded':>9s} {'bar':>9s} {'ours':>9s}  notes")
         n_beat_bar = n_with_bar = n_beat_rec = n_with_rec = 0
