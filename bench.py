@@ -54,10 +54,11 @@ def measure(
     n_chunks=4,
     n_context=64,
     duration=1.0,
+    density_induced=64,
 ):
     """Train-throughput measurement of the flagship config. Returns a dict
-    with waveforms/sec/chip, per-step FLOPs (XLA cost analysis of the
-    compiled 50-step program / 50), and MFU when the chip's peak is known."""
+    with waveforms/sec/chip, per-step FLOPs (XLA cost analysis of ONE
+    compiled train step), and MFU when the chip's peak is known."""
     from npf_gwwaveform_tpu import ConvCNP
     from npf_gwwaveform_tpu.data import (
         CntxtTrgtSplitter,
@@ -77,7 +78,7 @@ def measure(
         y_dim=1,
         x_dim=1,
         r_dim=128,
-        density_induced=64,
+        density_induced=density_induced,
         cnn_n_blocks=5,
         cnn_kernel_size=19,
         dtype=jnp.bfloat16,
@@ -115,13 +116,17 @@ def measure(
         keys = jax.random.split(key, n_inner)
         return jax.lax.scan(one_step, state, keys)
 
-    # FLOPs of the ENTIRE compiled 50-step program (datagen + split +
-    # fwd/bwd + Adam) from XLA's own cost model
-    compiled = run_chunk.lower(state, key).compile()
+    # FLOPs of ONE full train step (datagen + split + fwd/bwd + Adam) from
+    # XLA's own cost model. The single step must be lowered SEPARATELY:
+    # cost_analysis() of the scanned program counts the while-loop body once
+    # regardless of trip count (verified: identical flops at scan lengths
+    # 1/10/50), so dividing the chunk program's flops by n_inner understates
+    # true FLOPs by n_inner x (the round-2 bug this replaces).
     try:
-        flops_chunk = float(compiled.cost_analysis()["flops"])
+        step_compiled = jax.jit(one_step).lower(state, key).compile()
+        flops_step = float(step_compiled.cost_analysis()["flops"])
     except Exception:
-        flops_chunk = float("nan")
+        flops_step = float("nan")
 
     state, losses = run_chunk(state, key)  # warmup/compile
     jax.block_until_ready(losses)
@@ -134,18 +139,18 @@ def measure(
 
     n_chips = max(1, len(jax.devices()))
     wf_per_sec = n_chunks * n_inner * batch_size / dt / n_chips
-    flops_per_sec = flops_chunk * n_chunks / dt / n_chips
+    flops_per_sec = flops_step * n_inner * n_chunks / dt / n_chips
     peak, kind = _peak_flops()
     out = {
         "batch_size": batch_size,
         "n_points": n_points,
         "use_pallas_setconv": use_pallas,
         "waveforms_per_sec_per_chip": round(wf_per_sec, 2),
-        "flops_per_step": flops_chunk / n_inner,
+        "flops_per_step": flops_step,
         "tflops_per_sec": round(flops_per_sec / 1e12, 2),
         "device_kind": kind,
     }
-    if peak and flops_chunk == flops_chunk:
+    if peak and flops_step == flops_step:
         out["mfu"] = round(flops_per_sec / peak, 4)
     return out
 
@@ -175,19 +180,25 @@ def main():
                 r = measure(batch_size=bs, use_pallas=use_pallas)
                 detail["sweep"].append(r)
                 print(json.dumps(r), flush=True)
-        # long-waveform regime (2048-point waveforms, contexts up to 1024):
-        # where the Pallas SetConv's O(B*(Q+K)*C) memory vs XLA's
-        # materialized [B,Q,K] pairwise tensor actually matters
-        for use_pallas in (False, True):
-            r = measure(
-                batch_size=16,
-                n_points=2048,
-                n_context=1024,
-                duration=2.0,
-                use_pallas=use_pallas,
-            )
-            detail["long_context"].append(r)
-            print(json.dumps(r), flush=True)
+        # long-waveform regime (2048-point waveforms, contexts up to 1024).
+        # The induced grid must SCALE with waveform length for ConvCNP's
+        # 3x-density grid semantics to hold over long signals — this is the
+        # regime where the Pallas SetConv's O(B*(Q+K)*C) memory vs XLA's
+        # materialized [B,Q,K] pairwise tensor matters. Two grid scalings:
+        # density 512 preserves grid resolution per sample (grid 1536);
+        # density 2048 is the PROFILE_OPS op-level-win shape (grid 6144).
+        for density in (512, 2048):
+            for use_pallas in (False, True):
+                r = measure(
+                    batch_size=16,
+                    n_points=2048,
+                    n_context=1024,
+                    duration=2.0,
+                    use_pallas=use_pallas,
+                    density_induced=density,
+                )
+                detail["long_context"].append(r)
+                print(json.dumps(r), flush=True)
         detail["flagship"] = max(
             detail["sweep"], key=lambda r: r["waveforms_per_sec_per_chip"]
         )

@@ -70,8 +70,23 @@ def reeval_run(kernel: str, model_name: str, out="results/", n_test=10_000):
     if os.path.exists(spath0):
         with open(spath0) as f:
             norm_eps = json.load(f).get("norm_eps", 1e-3)
-    model = build_model(model_name, norm_eps=norm_eps)
-    criterion = criterion_for(model_name)
+    if "_ELBO" in model_name:
+        # objective-ablation variant (Losses.ipynb grid): rebuild via
+        # gp_model_variant from the encoded flags, e.g.
+        # LNP_ELBOTrue_LatLBTrue_SigLBFalse
+        from npf_gwwaveform_tpu.configs import gp_model_variant
+        from npf_gwwaveform_tpu.losses import ELBOLossLNPF, NLLLossLNPF
+
+        base, *flag_parts = model_name.split("_")
+        flags = {}
+        for part in flag_parts:
+            val = part.endswith("True")
+            flags[part[: -len("True" if val else "False")]] = val
+        model = gp_model_variant(base, flags["ELBO"], flags["LatLB"], flags["SigLB"])
+        criterion = ELBOLossLNPF() if flags["ELBO"] else NLLLossLNPF()
+    else:
+        model = build_model(model_name, norm_eps=norm_eps)
+        criterion = criterion_for(model_name)
     eval_splitter = CntxtTrgtSplitter(
         contexts_getter=GetRandomIndcs(a=0.0, b=50, is_indep_n=True),
         targets_getter=get_all_indcs,
@@ -156,7 +171,13 @@ def main():
                             continue
                 targets.append((kernel, model_name))
     for kernel, model_name in targets:
-        reeval_run(kernel, model_name, out=args.out)
+        try:
+            reeval_run(kernel, model_name, out=args.out)
+        except ValueError as e:
+            # unknown model name: skip instead of aborting the batch rescore
+            # mid-way (some eval.csvs would already have been rewritten)
+            print(json.dumps({"kernel": kernel, "model": model_name,
+                              "skipped": f"build failed: {e}"}))
 
 
 if __name__ == "__main__":

@@ -157,10 +157,14 @@ def main():
         pred = jnp.mean(out.p_yCc.loc, axis=0)  # [B, N, y_dim] over z
         return nll, pred, y
 
-    nlls, mms = [], []
+    nlls, mms, thetas = [], [], []
     for i in range(args.n_test // 256):
-        nll, pred, y = eval_batch(state, jax.random.fold_in(jax.random.PRNGKey(123), i))
+        kd = jax.random.fold_in(jax.random.PRNGKey(123), i)
+        nll, pred, y = eval_batch(state, kd)
         nlls.append(np.asarray(nll))
+        # raw physical parameters of this eval batch (same kd split as
+        # eval_batch's make_batch) for tail/failure-mode analysis
+        thetas.append(np.asarray(space.sample(jax.random.split(kd, 3)[0], 256)))
         if args.mode == "time":
             mm = mismatch(pred[..., 0], y[..., 0])
             mms.append(np.asarray(mm))
@@ -182,6 +186,9 @@ def main():
         summary["mismatch_median"] = float(np.median(mm))
         summary["mismatch_mean"] = float(mm.mean())
         summary["mismatch_p90"] = float(np.percentile(mm, 90))
+        summary["mismatch_p99"] = float(np.percentile(mm, 99))
+        summary["frac_below_0.03"] = float((mm < 0.03).mean())
+        summary["frac_below_0.1"] = float((mm < 0.1).mean())
 
     tag = f"GW_{args.mode}" + (
         ("_cond" if args.cond_mode == "add" else "_cond_film") if args.cond else ""
@@ -190,6 +197,17 @@ def main():
     run_dir = os.path.join(args.out, tag, args.model, "run_0")
     os.makedirs(run_dir, exist_ok=True)
     np.savetxt(os.path.join(run_dir, "eval.csv"), -nlls, delimiter=",")
+    if mms:
+        # per-waveform mismatch alongside the physical parameters
+        # (m1, m2, chi1, chi2 columns) — the tail is physics-correlated;
+        # this is the artifact failure-mode analysis reads
+        np.savetxt(
+            os.path.join(run_dir, "mismatch_theta.csv"),
+            np.concatenate([np.concatenate(mms)[:, None],
+                            np.concatenate(thetas, axis=0)], axis=1),
+            delimiter=",",
+            header="mismatch,m1,m2,chi1,chi2",
+        )
     with open(os.path.join(run_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))

@@ -38,18 +38,34 @@ import numpy as np
 POINT_MODELS = ("CNP", "LNP", "AttnCNP", "AttnLNP")
 
 
-def build_model(name, dtype=None):
+def build_model(name, dtype=None, padding="SAME", norm_eps=1e-3):
+    """Reference image configs (ConvCNP.ipynb model_2d / model_2d_extrap):
+    5 ResConvBlocks (4 for LNP) with TWO conv layers per block, k=9,
+    BatchNorm2d; zsmms uses CircularPad (full translation equivariance) and
+    BatchNorm eps 1e-2 ('was getting NaN')."""
     from npf_gwwaveform_tpu import GridConvCNP, GridConvLNP
+    from npf_gwwaveform_tpu.ops.cnn import CNN
+
+    def cnn_factory(n_blocks):
+        def make(r_dim, name=None):
+            return CNN(
+                n_channels=r_dim, n_blocks=n_blocks, kernel_size=9,
+                norm="batch", padding=padding,
+                block_kwargs={"n_conv_layers": 2, "norm_eps": norm_eps},
+                dtype=dtype, name=name,
+            )
+
+        return make
 
     if name == "GridConvCNP":
         return GridConvCNP(
-            y_dim=1, x_dim=1, r_dim=128, cnn_n_blocks=5, cnn_kernel_size=9,
-            cnn_norm="batch", conv_kernel_size=11, dtype=dtype,
+            y_dim=1, x_dim=1, r_dim=128, CNNFactory=cnn_factory(5),
+            conv_kernel_size=11, conv_padding=padding, dtype=dtype,
         )
     if name == "GridConvLNP":
         return GridConvLNP(
-            y_dim=1, x_dim=1, r_dim=128, cnn_n_blocks=4, cnn_kernel_size=9,
-            cnn_norm="batch", conv_kernel_size=11, n_z_samples_train=16,
+            y_dim=1, x_dim=1, r_dim=128, CNNFactory=cnn_factory(4),
+            conv_kernel_size=11, conv_padding=padding, n_z_samples_train=16,
             n_z_samples_test=32, is_global=True, dtype=dtype,
         )
     if name in POINT_MODELS:
@@ -86,7 +102,13 @@ def main():
     from npf_gwwaveform_tpu.training import Trainer, create_train_state, make_optimizer
 
     train_ds, test_ds = get_train_test_img_dataset(args.dataset)
-    model = build_model(args.model)
+    # zsmms: the reference's zero-shot config is circular-padded (full
+    # translation equivariance across the canvas change) with BatchNorm
+    # eps 1e-2 (model_2d_extrap)
+    if args.dataset == "zsmms":
+        model = build_model(args.model, padding="CIRCULAR", norm_eps=1e-2)
+    else:
+        model = build_model(args.model)
     criterion = NLLLossLNPF() if "LNP" in args.model else CNPFLoss()
     is_point = args.model in POINT_MODELS
     test_upscale = getattr(train_ds, "test_upscale_factor", 1.0)
@@ -169,6 +191,10 @@ def main():
 
     with open(os.path.join(run_dir, "params.msgpack"), "wb") as f:
         f.write(flax.serialization.to_bytes(jax.device_get(state.params)))
+    # batchnorm running stats (Grid* family) — params alone re-eval with
+    # INIT stats and score garbage (same invariant as reproduce_gp.py)
+    with open(os.path.join(run_dir, "extra_vars.msgpack"), "wb") as f:
+        f.write(flax.serialization.to_bytes(jax.device_get(state.extra_vars)))
     summary = dict(
         model=args.model, dataset=args.dataset,
         mean_test_ll=float(lls.mean()), n_test=int(lls.size),

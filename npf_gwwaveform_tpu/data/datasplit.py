@@ -13,8 +13,10 @@ TPU-first redesign: instead of gathering variable-size subsets (ragged), the
 splitter emits BOOLEAN MASKS over the fixed point set — context = (X, Y,
 mask_cntxt), target = (X, Y, mask_trgt). Shapes are static under jit; the
 whole splitter is jittable and runs on device as part of the input pipeline.
-Like the reference, the *count* of context points is shared across a batch
-(one randint per batch) while the *positions* are independent per element.
+Like the reference, the *count* of context points is by default shared across
+a batch (one randint per batch) while the *positions* are independent per
+element; `GetRandomIndcs.is_indep_n` switches to per-element counts (used by
+the eval protocol — see that docstring).
 """
 
 from __future__ import annotations

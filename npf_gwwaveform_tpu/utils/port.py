@@ -146,6 +146,55 @@ def port_convcnp_pretrained(torch_model):
     return params, {"batch_stats": {"induced_to_induced": stats}}
 
 
+def port_conv2d(conv) -> Dict:
+    out = {"kernel": _t2j(conv.weight).transpose(2, 3, 1, 0)}
+    if getattr(conv, "bias", None) is not None:
+        out["bias"] = _t2j(conv.bias)
+    return out
+
+
+def _port_res_conv_block2d_bn(block):
+    """2-D ResConvBlock, n_conv_layers=2 + BatchNorm2d (the reference's
+    image GridConvCNP config, ConvCNP.ipynb model_2d/model_2d_extrap).
+    `make_padded_conv`-wrapped convs carry the raw Conv2d at `.conv`."""
+
+    def conv(c):
+        return port_conv2d(getattr(c, "conv", c))
+
+    p1, s1 = port_batchnorm(block.norm1)
+    p2, s2 = port_batchnorm(block.norm2)
+    params = {
+        "conv1": {
+            "depthwise": conv(block.conv1.depthwise),
+            "pointwise": conv(block.conv1.pointwise),
+        },
+        "conv2_depthwise": conv(block.conv2_depthwise),
+        "conv2_pointwise": conv(block.conv2_pointwise),
+        "norm1": p1,
+        "norm2": p2,
+    }
+    return params, {"norm1": s1, "norm2": s2}
+
+
+def port_gridconvcnp_pretrained(torch_model):
+    """Reference GridConvCNP image checkpoint (gridconvnp.py:28-178; e.g.
+    results/pretrained/{mnist,zsmms}/ConvCNP) -> (params, extra_vars).
+    Handles both plain and CircularPad2d-wrapped (zsmms) conv stacks."""
+    blocks, stats = {}, {}
+    for i, b in enumerate(torch_model.induced_to_induced.conv_blocks):
+        p, s = _port_res_conv_block2d_bn(b)
+        blocks[f"block_{i}"] = p
+        stats[f"block_{i}"] = s
+    abs_conv = getattr(torch_model.conv, "conv", torch_model.conv)
+    params = {
+        "conv": {"kernel": _t2j(abs_conv.weight).transpose(2, 3, 1, 0)},
+        "resizer": port_linear(torch_model.resizer),
+        "induced_to_induced": blocks,
+        "decoder": {"MLP_0": port_mlp(torch_model.decoder.destination)},
+    }
+    return params, {"batch_stats": {"induced_to_induced": stats}}
+
+
 def port_cnp(torch_model) -> Dict:
     return {
         "x_encoder": port_mlp(torch_model.x_encoder),

@@ -123,7 +123,7 @@ def plot_qualitative_with_kde(
     idx = []
     for p in percentiles:
         v = np.percentile(lls, p, method="nearest")
-        idx.append(int(np.argwhere(lls == v)[0]))
+        idx.append(int(np.argmin(np.abs(lls - v))))
 
     n_panel_rows = 2 if model_compare is None else 3
     fig = plt.figure(figsize=(3 * len(percentiles), 4 + 2 * n_panel_rows))
@@ -163,7 +163,7 @@ def plot_qualitative_with_kde(
         locs_c, _ = get_posterior_samples_imgs(
             model_compare, variables_compare, mask, sel, 1, key
         )
-        axes = np.atleast_2d(sub.subplots(3, len(idx)))
+        axes = sub.subplots(3, len(idx), squeeze=False)
         maskf = np.asarray(mask).astype(np.float32)
         for b in range(len(idx)):
             imgs_rows = [
