@@ -43,6 +43,13 @@ def main():
         "modulation of the induced grid before the CNN (ConvCNP family)",
     )
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument(
+        "--density", type=int, default=None,
+        help="ConvCNP induced-grid density (default 64 -> 192-pt grid over "
+        "[-1.5,1.5], i.e. HALF the 256-sample signal resolution over "
+        "[-1,1]; 128+ resolves the late-inspiral chirp the coarse grid "
+        "aliases — the identified mismatch-tail lever)",
+    )
     ap.add_argument("--out", default="results/")
     args = ap.parse_args()
 
@@ -68,6 +75,7 @@ def main():
         y_dim=y_dim,
         cond_dim=4 if args.cond else 0,
         cond_mode=args.cond_mode,
+        **({"density_induced": args.density} if args.density else {}),
     )
     criterion = criterion_for(args.model)
     splitter = CntxtTrgtSplitter(
@@ -194,9 +202,18 @@ def main():
         ("_cond" if args.cond_mode == "add" else "_cond_film") if args.cond else ""
     )
     tag += f"_ctx{args.n_context}"
+    if args.density:
+        tag += f"_d{args.density}"
+        summary["density_induced"] = args.density
     run_dir = os.path.join(args.out, tag, args.model, "run_0")
     os.makedirs(run_dir, exist_ok=True)
     np.savetxt(os.path.join(run_dir, "eval.csv"), -nlls, delimiter=",")
+    import flax.serialization
+
+    with open(os.path.join(run_dir, "params.msgpack"), "wb") as f:
+        f.write(flax.serialization.to_bytes(jax.device_get(state.params)))
+    with open(os.path.join(run_dir, "extra_vars.msgpack"), "wb") as f:
+        f.write(flax.serialization.to_bytes(jax.device_get(state.extra_vars)))
     if mms:
         # per-waveform mismatch alongside the physical parameters
         # (m1, m2, chi1, chi2 columns) — the tail is physics-correlated;

@@ -90,3 +90,47 @@ def test_gridconvcnp_parity():
     )
     np.testing.assert_allclose(np.asarray(out.p_yCc.loc)[0], t_loc[0], atol=ATOL, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(out.p_yCc.scale)[0], t_scale[0], atol=ATOL, rtol=1e-3)
+
+
+def test_gridconvcnp_zsmms_checkpoint_port_parity():
+    """Golden parity for the REAL pretrained zsmms checkpoint (circular
+    padding + BatchNorm eps 1e-2 + n_conv_layers=2, ConvCNP.ipynb
+    model_2d_extrap) through port_gridconvcnp_pretrained — the port behind
+    the image ported bar (results/ported_bars.jsonl zsmms row)."""
+    import os
+
+    ckpt = "/root/reference/results/pretrained/zsmms/ConvCNP/run_0/params.pt"
+    if not os.path.exists(ckpt):
+        pytest.skip("reference checkpoint not mounted")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from experiments.eval_pretrained_img import build_torch_gridconvcnp
+    from experiments.reproduce_img import build_model
+    from npf_gwwaveform_tpu.utils.port import port_gridconvcnp_pretrained
+
+    sd = torch.load(ckpt, map_location="cpu")
+    tm = build_torch_gridconvcnp(circular=True)
+    tm.load_state_dict(sd)
+    tm.eval()
+    params, extra_vars = port_gridconvcnp_pretrained(tm)
+    model = build_model("GridConvCNP", padding="CIRCULAR", norm_eps=1e-2)
+
+    rng = np.random.default_rng(3)
+    H = W = 20
+    mask = (rng.uniform(size=(2, H, W, 1)) > 0.7).astype(np.float32)
+    img = rng.uniform(size=(2, H, W, 1)).astype(np.float32)
+    with torch.no_grad():
+        p, *_ = tm(
+            torch.from_numpy(mask), torch.from_numpy(img),
+            torch.from_numpy(np.ones_like(mask)),
+        )
+    out = model.apply(
+        {"params": params, **extra_vars},
+        jnp.asarray(mask), jnp.asarray(img), jnp.asarray(np.ones_like(mask)),
+        train=False, rngs={"latent": jax.random.PRNGKey(0)},
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.p_yCc.loc), p.base_dist.loc.numpy(), atol=ATOL, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.p_yCc.scale), p.base_dist.scale.numpy(), atol=ATOL, rtol=1e-3
+    )
