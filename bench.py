@@ -19,6 +19,7 @@ SetConv A/B, a batch-size sweep, and FLOPs/MFU per config.
 
 import argparse
 import json
+import os
 import time
 
 import jax
@@ -159,6 +160,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--detail", action="store_true",
                     help="write BENCH_DETAIL.json with pallas A/B + batch sweep")
+    ap.add_argument("--detail-fast", action="store_true",
+                    help="reduced detail: flagship-batch A/B + long-context "
+                    "rows only (merged into an existing BENCH_DETAIL.json)")
     # 256 = the measured throughput-optimal batch on v5e (BENCH_DETAIL.json
     # sweep: 2.1x the batch-32 rate, 512 regresses); data is generated on
     # device so batch scaling is accuracy-neutral free throughput
@@ -173,12 +177,20 @@ def main():
     )
     args = ap.parse_args()
 
-    if args.detail:
+    if args.detail or args.detail_fast:
         detail = {"flagship": None, "sweep": [], "long_context": []}
-        for bs in (32, 64, 128, 256, 512):
+        if args.detail_fast and os.path.exists("BENCH_DETAIL.json"):
+            with open("BENCH_DETAIL.json") as f:
+                detail["sweep"] = json.load(f).get("sweep", [])
+        batches = (256,) if args.detail_fast else (32, 64, 128, 256, 512)
+        for bs in batches:
             for use_pallas in (False, True):
                 r = measure(batch_size=bs, use_pallas=use_pallas)
-                detail["sweep"].append(r)
+                detail["sweep"] = [
+                    s for s in detail["sweep"]
+                    if not (s["batch_size"] == bs
+                            and s["use_pallas_setconv"] == use_pallas)
+                ] + [r]
                 print(json.dumps(r), flush=True)
         # long-waveform regime (2048-point waveforms, contexts up to 1024).
         # The induced grid must SCALE with waveform length for ConvCNP's

@@ -57,6 +57,52 @@ def load_ours(kernel, model):
     return d.get("mean_test_ll"), d
 
 
+def print_zsmms(bars):
+    """Zero-shot extrapolation contrast table (reference zsmms pins:
+    generalize = ConvCNP 1253 / ConvLNP 3890; collapse = CNP -58552 /
+    AttnCNP -309088)."""
+    ref = {"GridConvCNP": "ConvCNP", "GridConvLNP": "ConvLNP",
+           "CNP": "CNP", "AttnCNP": "AttnCNP"}
+    rows = []
+    for ours_name, ref_name in ref.items():
+        rec = load_recorded_path(f"{REF_ROOT}/zsmms/{ref_name}/run_0/eval.csv")
+        ours, meta = load_ours("zsmms", ours_name)
+        if ours is None and rec is None:
+            continue
+        rows.append((ours_name, rec, bars.get(("zsmms", ours_name)), ours))
+    if not rows:
+        return
+    print("\nzsmms zero-shot extrapolation (LL/image; recorded = reference on"
+          " MNIST-zsmms, ours = offline corpus):")
+    print(f"{'model':14s} {'recorded':>12s} {'ported bar':>12s} {'ours':>12s}")
+    for m, rec, bar, ours in rows:
+        f = lambda v: f"{v:12.1f}" if v is not None else "           —"
+        print(f"{m:14s} {f(rec)} {f(bar)} {f(ours)}")
+
+
+def print_gw():
+    """GW waveform rows (no reference baseline exists — our runs define it)."""
+    runs = sorted(glob.glob("results/GW_*/*/run_0/summary.json"))
+    if not runs:
+        return
+    print("\nGW waveform configs (test LL/waveform; mismatch p50/p90/p99):")
+    print(f"{'config':36s} {'model':8s} {'steps':>7s} {'LL/wf':>8s} "
+          f"{'p50':>7s} {'p90':>7s} {'p99':>7s}")
+    for p in runs:
+        d = json.load(open(p))
+        cfg = p.split(os.sep)[1]
+        q = lambda k: (f"{d[k]:7.3f}" if k in d else "      —")
+        print(f"{cfg:36s} {d.get('model', '?'):8s} {d.get('steps', 0):>7d} "
+              f"{d.get('test_ll_per_wf', float('nan')):8.1f} "
+              f"{q('mismatch_median')} {q('mismatch_p90')} {q('mismatch_p99')}")
+
+
+def load_recorded_path(p):
+    if not os.path.exists(p):
+        return None
+    return float(np.loadtxt(p, delimiter=",").mean())
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--markdown", action="store_true")
@@ -108,6 +154,8 @@ def main():
             f"\nours >= bar: {n_beat_bar}/{n_with_bar}   "
             f"ours >= recorded: {n_beat_rec}/{n_with_rec}"
         )
+        print_zsmms(bars)
+        print_gw()
 
 
 if __name__ == "__main__":
