@@ -1,0 +1,50 @@
+"""The Losses.ipynb objective-ablation variant configs build, train a step,
+and evaluate (configs.gp_model_variant — the ELBO x LatLB x SigLB grid whose
+run dirs mirror /root/reference/results/models/RBF_Kernel/*_ELBO*)."""
+
+import jax
+import numpy as np
+import pytest
+
+from npf_gwwaveform_tpu.configs import gp_model_variant, variant_name
+from npf_gwwaveform_tpu.data import (
+    CntxtTrgtSplitter,
+    GetRandomIndcs,
+    GPSampler,
+    get_all_indcs,
+)
+from npf_gwwaveform_tpu.data.gp import KERNEL_CONFIGS
+from npf_gwwaveform_tpu.losses import ELBOLossLNPF, NLLLossLNPF
+from npf_gwwaveform_tpu.training import Trainer, create_train_state, make_optimizer
+
+
+@pytest.mark.parametrize(
+    "name,elbo,lat,sig",
+    [
+        ("LNP", False, True, True),      # recorded -42.77 (best LNP NPML)
+        ("AttnLNP", False, True, False), # recorded 180.14
+        ("ConvLNP", False, True, False), # recorded 268.93
+        ("ConvLNP", True, True, True),   # recorded ~-181 (NPVI collapse)
+        ("LNP", True, False, False),     # no-lower-bound NPVI corner
+    ],
+)
+def test_variant_builds_and_steps(name, elbo, lat, sig):
+    sampler = GPSampler(n_points=24, **KERNEL_CONFIGS["RBF_Kernel"])
+    splitter = CntxtTrgtSplitter(
+        contexts_getter=GetRandomIndcs(a=0.0, b=8), targets_getter=get_all_indcs
+    )
+    model = gp_model_variant(name, elbo, lat, sig, r_dim=16)
+    criterion = ELBOLossLNPF() if elbo else NLLLossLNPF()
+    tx = make_optimizer(lr=1e-3, decay_lr=None)
+    trainer = Trainer(model, criterion, tx, splitter=splitter)
+    key = jax.random.PRNGKey(0)
+    x, y = sampler.sample(key, 4)
+    state = create_train_state(model, tx, splitter(key, x, y), seed=0)
+    state, metrics = trainer._train_step(state, x, y)
+    assert np.isfinite(float(metrics["loss"]))
+    nll = trainer._eval_step(state, x, y, key)
+    assert np.all(np.isfinite(np.asarray(nll)))
+    # run-dir naming parity with the reference's Losses.ipynb get_name
+    assert variant_name(name, elbo, lat, sig) == (
+        f"{name}_ELBO{elbo}_LatLB{lat}_SigLB{sig}"
+    )
