@@ -220,6 +220,12 @@ def main():
     retries = 0
     while s < n_super:
         try:
+            if carry is None:
+                # restore from the host snapshot after a drop. This MUST be
+                # inside the try: the device can still be unavailable when
+                # the retry fires (observed: UNAVAILABLE from device_put 5s
+                # after a dropped execution killed a 19-min run)
+                carry = jax.device_put(carry_host)
             carry, chunk_losses = run_super(carry, jax.random.PRNGKey(1000 + s))
             jax.block_until_ready(chunk_losses)
             # the snapshot itself can hit a dropped-device error too — keep
@@ -232,8 +238,8 @@ def main():
             if retries > 5:
                 raise
             print(f"  super {s + 1} failed ({type(e).__name__}); retrying", flush=True)
-            time.sleep(5)
-            carry = jax.device_put(carry_host)
+            time.sleep(15 * retries)  # back off: device blips outlast 5s
+            carry = None
             continue
         cl = cl_host
         if first_last[0] is None:

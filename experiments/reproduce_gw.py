@@ -141,14 +141,32 @@ def main():
     jax.block_until_ready(losses)
     print(f"compile+chunk0: {time.time()-t0:.1f}s loss {float(losses.mean()):.2f}")
     t0 = time.time()
-    for i in range(1, n_chunks):
-        state, losses = run_chunk(state, jax.random.PRNGKey(10 + i))
+    # host snapshot + retry-from-snapshot so a dropped device execution
+    # (UNAVAILABLE blips observed on the tunnel) resumes instead of dying
+    state_host = jax.device_get(state)
+    i, retries = 1, 0
+    while i < n_chunks:
+        try:
+            if state is None:
+                state = jax.device_put(state_host)
+            state, losses = run_chunk(state, jax.random.PRNGKey(10 + i))
+            jax.block_until_ready(losses)
+            state_host = jax.device_get(state)
+        except Exception as e:
+            retries += 1
+            if retries > 5:
+                raise
+            print(f"chunk {i} failed ({type(e).__name__}); retrying", flush=True)
+            time.sleep(15 * retries)
+            state = None
+            continue
         if i % max(1, n_chunks // 10) == 0:
             print(
                 f"chunk {i}/{n_chunks} loss {float(losses.mean()):.2f} "
                 f"({(i*inner*args.batch)/(time.time()-t0):.0f} wf/s)",
                 flush=True,
             )
+        i += 1
     jax.block_until_ready(state.params)
     train_time = time.time() - t0
 

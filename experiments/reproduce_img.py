@@ -159,9 +159,26 @@ def main():
         return jax.lax.scan(one_step, state, jax.random.split(key, inner))
 
     t0 = time.time()
-    for i in range(n_chunks):
-        state, losses = run_chunk(state, jax.random.PRNGKey(5 + i))
-    jax.block_until_ready(losses)
+    # host snapshot + retry-from-snapshot (device UNAVAILABLE blips observed
+    # on the tunnel; same pattern as reproduce_gp.py)
+    state_host = jax.device_get(state)
+    i, retries = 0, 0
+    while i < n_chunks:
+        try:
+            if state is None:
+                state = jax.device_put(state_host)
+            state, losses = run_chunk(state, jax.random.PRNGKey(5 + i))
+            jax.block_until_ready(losses)
+            state_host = jax.device_get(state)
+        except Exception as e:
+            retries += 1
+            if retries > 5:
+                raise
+            print(f"chunk {i} failed ({type(e).__name__}); retrying", flush=True)
+            time.sleep(15 * retries)
+            state = None
+            continue
+        i += 1
     train_time = time.time() - t0
     print(f"train {total_steps} steps in {train_time:.1f}s; final loss {float(losses.mean()):.1f}")
 
