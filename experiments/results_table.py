@@ -80,6 +80,42 @@ def print_zsmms(bars):
         print(f"{m:14s} {f(rec)} {f(bar)} {f(ours)}")
 
 
+def print_ablation(markdown=False):
+    """Objective-ablation rows (Losses.ipynb ELBO x LatLB x SigLB grid).
+    recorded = the reference's checked-in ablation artifacts
+    (/root/reference/results/models/{kernel}/{variant}/run_0/eval.csv)."""
+    runs = sorted(glob.glob("results/*/*_ELBO*/run_0/summary.json"))
+    if not runs:
+        return
+    header = ("\nLNPF objective ablation (recorded = reference "
+              "results/models artifacts):")
+    if markdown:
+        print(header)
+        print("| Kernel | Variant | Recorded | Ours | Notes |")
+        print("|---|---|---|---|---|")
+    else:
+        print(header)
+        print(f"{'kernel':14s} {'variant':40s} {'recorded':>9s} {'ours':>9s}  notes")
+    for p in runs:
+        d = json.load(open(p))
+        kernel = p.split(os.sep)[1]
+        variant = p.split(os.sep)[2]
+        rec = load_recorded_path(
+            f"/root/reference/results/models/{kernel}/{variant}/run_0/eval.csv"
+        )
+        ours = d.get("mean_test_ll")
+        note = f"{d.get('epochs')}ep"
+        if markdown:
+            r = "—" if rec is None else f"{rec:.2f}"
+            o = (f"**{ours:.2f}**" if rec is not None and ours >= rec
+                 else f"{ours:.2f}")
+            print(f"| {kernel.replace('_Kernel', '')} | {variant} | {r} | {o} | {note} |")
+        else:
+            r = f"{rec:9.2f}" if rec is not None else "        —"
+            star = " *" if rec is not None and ours >= rec else ""
+            print(f"{kernel:14s} {variant:40s} {r} {ours:9.2f}  {note}{star}")
+
+
 def print_gw():
     """GW waveform rows (no reference baseline exists — our runs define it)."""
     runs = sorted(glob.glob("results/GW_*/*/run_0/summary.json"))
@@ -106,7 +142,12 @@ def load_recorded_path(p):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--markdown", action="store_true")
+    ap.add_argument("--ablation-markdown", action="store_true",
+                    help="print ONLY the objective-ablation table as markdown")
     args = ap.parse_args()
+    if args.ablation_markdown:
+        print_ablation(markdown=True)
+        return
 
     bars = load_bars()
     rows = []
@@ -154,6 +195,7 @@ def main():
             f"\nours >= bar: {n_beat_bar}/{n_with_bar}   "
             f"ours >= recorded: {n_beat_rec}/{n_with_rec}"
         )
+        print_ablation()
         print_zsmms(bars)
         print_gw()
 
