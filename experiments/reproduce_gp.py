@@ -125,7 +125,8 @@ def main():
         )
         is_elbo = flags["ELBO"]
         model = gp_model_variant(
-            args.model, is_elbo, flags["LatLB"], flags["SigLB"], dtype=dtype
+            args.model, is_elbo, flags["LatLB"], flags["SigLB"], dtype=dtype,
+            cnn_norm_eps=args.norm_eps,
         )
         criterion = ELBOLossLNPF() if is_elbo else NLLLossLNPF()
         run_name = variant_name(args.model, is_elbo, flags["LatLB"], flags["SigLB"])
@@ -210,12 +211,13 @@ def main():
         best_params = jax.tree.map(
             lambda b, p: jnp.where(better, p, b), best_params, state.params
         )
-        return (state, jnp.minimum(v, best_v), best_params), chunk_losses
+        return (state, jnp.minimum(v, best_v), best_params), (chunk_losses, v)
 
     t0 = time.time()
     carry = (state, jnp.inf, state.params)
     carry_host = jax.device_get(carry)
     first_last = [None, None]
+    hist = []
     s = 0
     retries = 0
     while s < n_super:
@@ -226,13 +228,16 @@ def main():
                 # the retry fires (observed: UNAVAILABLE from device_put 5s
                 # after a dropped execution killed a 19-min run)
                 carry = jax.device_put(carry_host)
-            carry, chunk_losses = run_super(carry, jax.random.PRNGKey(1000 + s))
+            carry, (chunk_losses, v_sup) = run_super(
+                carry, jax.random.PRNGKey(1000 + s)
+            )
             jax.block_until_ready(chunk_losses)
             # the snapshot itself can hit a dropped-device error too — keep
             # it INSIDE the retry guard (observed: FAILED_PRECONDITION from
             # device_get after a successful super)
             carry_host = jax.device_get(carry)
             cl_host = np.asarray(chunk_losses)
+            v_host = float(v_sup)
         except Exception as e:  # dropped execution: retry from host snapshot
             retries += 1
             if retries > 5:
@@ -242,6 +247,12 @@ def main():
             carry = None
             continue
         cl = cl_host
+        hist.append({
+            "epoch": round((s + 1) * per_super * inner / steps_per_epoch, 2),
+            "dur": time.time() - t0,
+            "train_loss": float(cl.mean()),
+            "valid_loss": v_host,
+        })
         if first_last[0] is None:
             first_last[0] = float(cl[0])
         first_last[1] = float(cl[-1])
@@ -294,6 +305,10 @@ def main():
     run_dir = os.path.join(args.out, args.kernel, run_name, "run_0")
     os.makedirs(run_dir, exist_ok=True)
     np.savetxt(os.path.join(run_dir, "eval.csv"), lls, delimiter=",")
+    from npf_gwwaveform_tpu.training import write_history, write_model_summary
+
+    write_model_summary(run_dir, model, state.params)
+    write_history(run_dir, hist)
     # persist best params (reference layout keeps params.pt; ours msgpack)
     import flax.serialization
 

@@ -144,6 +144,7 @@ def main():
     # host snapshot + retry-from-snapshot so a dropped device execution
     # (UNAVAILABLE blips observed on the tunnel) resumes instead of dying
     state_host = jax.device_get(state)
+    hist = []
     i, retries = 1, 0
     while i < n_chunks:
         try:
@@ -160,6 +161,11 @@ def main():
             time.sleep(15 * retries)
             state = None
             continue
+        hist.append({
+            "step": (i + 1) * inner,
+            "dur": time.time() - t0,
+            "train_loss": float(losses.mean()),
+        })
         if i % max(1, n_chunks // 10) == 0:
             print(
                 f"chunk {i}/{n_chunks} loss {float(losses.mean()):.2f} "
@@ -226,6 +232,10 @@ def main():
     run_dir = os.path.join(args.out, tag, args.model, "run_0")
     os.makedirs(run_dir, exist_ok=True)
     np.savetxt(os.path.join(run_dir, "eval.csv"), -nlls, delimiter=",")
+    from npf_gwwaveform_tpu.training import write_history, write_model_summary
+
+    write_model_summary(run_dir, model, state.params)
+    write_history(run_dir, hist)
     import flax.serialization
 
     with open(os.path.join(run_dir, "params.msgpack"), "wb") as f:

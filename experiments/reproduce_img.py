@@ -162,6 +162,7 @@ def main():
     # host snapshot + retry-from-snapshot (device UNAVAILABLE blips observed
     # on the tunnel; same pattern as reproduce_gp.py)
     state_host = jax.device_get(state)
+    hist = []
     i, retries = 0, 0
     while i < n_chunks:
         try:
@@ -178,6 +179,11 @@ def main():
             time.sleep(15 * retries)
             state = None
             continue
+        hist.append({
+            "epoch": round((i + 1) * inner / steps_per_epoch, 2),
+            "dur": time.time() - t0,
+            "train_loss": float(losses.mean()),
+        })
         i += 1
     train_time = time.time() - t0
     print(f"train {total_steps} steps in {train_time:.1f}s; final loss {float(losses.mean()):.1f}")
@@ -204,6 +210,10 @@ def main():
     run_dir = os.path.join(args.out, args.dataset, args.model, "run_0")
     os.makedirs(run_dir, exist_ok=True)
     np.savetxt(os.path.join(run_dir, "eval.csv"), lls, delimiter=",")
+    from npf_gwwaveform_tpu.training import write_history, write_model_summary
+
+    write_model_summary(run_dir, model, state.params)
+    write_history(run_dir, hist)
     import flax.serialization
 
     with open(os.path.join(run_dir, "params.msgpack"), "wb") as f:

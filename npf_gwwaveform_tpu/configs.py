@@ -132,6 +132,7 @@ def gp_model_variant(
     is_sig_lb: bool,
     r_dim: int = R_DIM,
     dtype: Optional[jnp.dtype] = None,
+    cnn_norm_eps: float = 1e-3,
 ):
     """The Losses.ipynb objective-ablation variants (reference cell 6
     `lnpf_getters` + the ELBO x LatLB x SigLB grid whose eval.csvs populate
@@ -150,7 +151,7 @@ def gp_model_variant(
     from .ops.encoders import discard_ith_arg
 
     mle = not is_elbo
-    base = gp_model_1d(name, r_dim=r_dim, dtype=dtype)
+    base = gp_model_1d(name, r_dim=r_dim, dtype=dtype, cnn_norm_eps=cnn_norm_eps)
     kwargs = dict(
         is_q_zCct=not mle,
         min_sigma_pred=0.01 if is_sig_lb else 1e-4,

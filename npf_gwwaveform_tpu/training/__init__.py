@@ -2,7 +2,7 @@ from .optim import exponential_decay_gamma, make_optimizer
 from .state import TrainState, create_train_state
 from .trainer import Trainer
 from .evaluate import eval_loglike
-from .train import train_models
+from .train import train_models, write_history, write_model_summary
 
 __all__ = [
     "make_optimizer",
@@ -12,4 +12,6 @@ __all__ = [
     "Trainer",
     "eval_loglike",
     "train_models",
+    "write_history",
+    "write_model_summary",
 ]

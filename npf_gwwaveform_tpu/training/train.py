@@ -44,6 +44,24 @@ def _default_splitter():
     )
 
 
+def write_model_summary(run_dir, model, params):
+    """`model_summary.txt` run artifact: module tree + parameter count
+    (reference utils/train.py:264-267 writes the torch module repr)."""
+    os.makedirs(run_dir, exist_ok=True)
+    with open(os.path.join(run_dir, "model_summary.txt"), "w") as f:
+        f.write(repr(model) + f"\nn_params: {count_parameters(params)}\n")
+
+
+def write_history(run_dir, history):
+    """`history.json` run artifact: list of per-epoch dicts (reference:
+    skorch history with epoch/dur/train_loss/valid_loss keys)."""
+    import json
+
+    os.makedirs(run_dir, exist_ok=True)
+    with open(os.path.join(run_dir, "history.json"), "w") as f:
+        json.dump(history, f)
+
+
 def train_models(
     datasets: Dict[str, object],
     models: Dict[str, object],
@@ -178,10 +196,7 @@ def _train_single(
     ex_batch = splitter(jax.random.PRNGKey(0), ex_x, ex_y)
     state = create_train_state(model, tx, ex_batch, seed=seed)
 
-    # model_summary.txt (reference train.py:264-267)
-    os.makedirs(run_dir, exist_ok=True)
-    with open(os.path.join(run_dir, "model_summary.txt"), "w") as f:
-        f.write(repr(model) + f"\nn_params: {count_parameters(state.params)}\n")
+    write_model_summary(run_dir, model, state.params)
 
     if not is_retrain and has_checkpoint(run_dir):
         state = load_state(state, run_dir)
