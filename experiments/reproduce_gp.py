@@ -86,6 +86,15 @@ def main():
         "(Losses.ipynb grid), e.g. ELBOFalse_LatLBTrue_SigLBFalse; "
         "only for LNP/AttnLNP/ConvLNP",
     )
+    ap.add_argument(
+        "--ablation-arch", default="notebook", choices=("notebook", "headline"),
+        help="ConvLNP ablation architecture: 'notebook' = the current "
+        "Losses.ipynb cell (z_dim=16, no global latent); 'headline' = the "
+        "z_dim=128 architecture the reference's checked-in ablation "
+        "checkpoints were actually trained with",
+    )
+    ap.add_argument("--run", type=int, default=0,
+                    help="run index (artifact dir run_{N}; reference keeps run_0)")
     args = ap.parse_args()
 
     from npf_gwwaveform_tpu.data import (
@@ -127,6 +136,7 @@ def main():
         model = gp_model_variant(
             args.model, is_elbo, flags["LatLB"], flags["SigLB"], dtype=dtype,
             cnn_norm_eps=args.norm_eps,
+            headline_arch=args.ablation_arch == "headline",
         )
         criterion = ELBOLossLNPF() if is_elbo else NLLLossLNPF()
         run_name = variant_name(args.model, is_elbo, flags["LatLB"], flags["SigLB"])
@@ -302,7 +312,7 @@ def main():
         ]
     )
 
-    run_dir = os.path.join(args.out, args.kernel, run_name, "run_0")
+    run_dir = os.path.join(args.out, args.kernel, run_name, f"run_{args.run}")
     os.makedirs(run_dir, exist_ok=True)
     np.savetxt(os.path.join(run_dir, "eval.csv"), lls, delimiter=",")
     from npf_gwwaveform_tpu.training import write_history, write_model_summary
@@ -331,6 +341,8 @@ def main():
         "norm_eps": args.norm_eps,
         "init": args.init,
     }
+    if args.ablation:
+        summary["ablation_arch"] = args.ablation_arch
     with open(os.path.join(run_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))

@@ -84,18 +84,21 @@ def print_ablation(markdown=False):
     """Objective-ablation rows (Losses.ipynb ELBO x LatLB x SigLB grid).
     recorded = the reference's checked-in ablation artifacts
     (/root/reference/results/models/{kernel}/{variant}/run_0/eval.csv)."""
-    runs = sorted(glob.glob("results/*/*_ELBO*/run_0/summary.json"))
+    runs = sorted(glob.glob("results/*/*_ELBO*/run_*/summary.json"))
     if not runs:
         return
+    bars = load_bars()
     header = ("\nLNPF objective ablation (recorded = reference "
-              "results/models artifacts):")
+              "results/models artifacts; bar = those checkpoints "
+              "weight-ported and scored under our protocol):")
     if markdown:
         print(header)
-        print("| Kernel | Variant | Recorded | Ours | Notes |")
-        print("|---|---|---|---|---|")
+        print("| Kernel | Variant | Recorded | Bar | Ours | Notes |")
+        print("|---|---|---|---|---|---|")
     else:
         print(header)
-        print(f"{'kernel':14s} {'variant':40s} {'recorded':>9s} {'ours':>9s}  notes")
+        print(f"{'kernel':14s} {'variant':40s} {'recorded':>9s} "
+              f"{'bar':>9s} {'ours':>9s}  notes")
     for p in runs:
         d = json.load(open(p))
         kernel = p.split(os.sep)[1]
@@ -103,17 +106,23 @@ def print_ablation(markdown=False):
         rec = load_recorded_path(
             f"/root/reference/results/models/{kernel}/{variant}/run_0/eval.csv"
         )
+        bar = bars.get((kernel, variant))
         ours = d.get("mean_test_ll")
+        target = bar if bar is not None else rec
         note = f"{d.get('epochs')}ep"
+        if d.get("ablation_arch") == "headline":
+            note += ", headline-arch"
         if markdown:
             r = "—" if rec is None else f"{rec:.2f}"
-            o = (f"**{ours:.2f}**" if rec is not None and ours >= rec
+            b = "—" if bar is None else f"{bar:.2f}"
+            o = (f"**{ours:.2f}**" if target is not None and ours >= target
                  else f"{ours:.2f}")
-            print(f"| {kernel.replace('_Kernel', '')} | {variant} | {r} | {o} | {note} |")
+            print(f"| {kernel.replace('_Kernel', '')} | {variant} | {r} | {b} | {o} | {note} |")
         else:
             r = f"{rec:9.2f}" if rec is not None else "        —"
-            star = " *" if rec is not None and ours >= rec else ""
-            print(f"{kernel:14s} {variant:40s} {r} {ours:9.2f}  {note}{star}")
+            b = f"{bar:9.2f}" if bar is not None else "        —"
+            star = " *" if target is not None and ours >= target else ""
+            print(f"{kernel:14s} {variant:40s} {r} {b} {ours:9.2f}  {note}{star}")
 
 
 def print_gw():

@@ -133,6 +133,7 @@ def gp_model_variant(
     r_dim: int = R_DIM,
     dtype: Optional[jnp.dtype] = None,
     cnn_norm_eps: float = 1e-3,
+    headline_arch: bool = False,
 ):
     """The Losses.ipynb objective-ablation variants (reference cell 6
     `lnpf_getters` + the ELBO x LatLB x SigLB grid whose eval.csvs populate
@@ -145,7 +146,12 @@ def gp_model_variant(
       1e-4+(1-1e-4)*softplus (False);
     * ConvLNP ablation config differs from the pretrained headline config:
       z_dim=16, is_global=False, LINEAR x-discarding decoder, n_z_test=16
-      (get_convlnp in Losses.ipynb)."""
+      (get_convlnp in Losses.ipynb). NOTE the reference's checked-in
+      ablation *checkpoints* predate that notebook cell: their state dicts
+      are z_dim=128 headline-architecture (latent_encoder.out is [256,128],
+      no reshaper_z) — `headline_arch=True` builds that configuration
+      (z_dim=r_dim, is_global=True) with the variant's scale transforms,
+      for apples-to-apples runs against the recorded ablation artifacts."""
     from flax import linen as nn
 
     from .ops.encoders import discard_ith_arg
@@ -163,15 +169,15 @@ def gp_model_variant(
     elif name == "AttnLNP":
         kwargs.update(n_z_samples_train=8 if mle else 1, n_z_samples_test=8)
     elif name == "ConvLNP":
-        kwargs.update(
-            n_z_samples_train=16 if mle else 1,
-            n_z_samples_test=16,
-            z_dim=16,
-            is_global=False,
-            Decoder=discard_ith_arg(
-                lambda n_out, name=None: nn.Dense(n_out, name=name), i=0
-            ),
-        )
+        kwargs.update(n_z_samples_train=16 if mle else 1, n_z_samples_test=16)
+        if not headline_arch:
+            kwargs.update(
+                z_dim=16,
+                is_global=False,
+                Decoder=discard_ith_arg(
+                    lambda n_out, name=None: nn.Dense(n_out, name=name), i=0
+                ),
+            )
     else:
         raise ValueError(f"{name} has no objective-ablation variant")
     return base.clone(**kwargs)
