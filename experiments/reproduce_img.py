@@ -184,6 +184,12 @@ def main():
             "dur": time.time() - t0,
             "train_loss": float(losses.mean()),
         })
+        if i % max(1, n_chunks // 10) == 0:
+            print(
+                f"chunk {i}/{n_chunks} loss {float(losses.mean()):.2f} "
+                f"({(i + 1) * inner / (time.time() - t0):.0f} steps/s)",
+                flush=True,
+            )
         i += 1
     train_time = time.time() - t0
     print(f"train {total_steps} steps in {train_time:.1f}s; final loss {float(losses.mean()):.1f}")

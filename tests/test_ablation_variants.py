@@ -48,3 +48,41 @@ def test_variant_builds_and_steps(name, elbo, lat, sig):
     assert variant_name(name, elbo, lat, sig) == (
         f"{name}_ELBO{elbo}_LatLB{lat}_SigLB{sig}"
     )
+
+
+def test_headline_arch_variant():
+    """headline_arch=True builds the architecture the reference's checked-in
+    ablation checkpoints actually carry (z_dim=r_dim, global latent, default
+    decoder — see eval_pretrained_ablation.py), with the variant's scale
+    transforms; it must train a step and keep the variant's n_z=16."""
+    model = gp_model_variant("ConvLNP", False, True, False, r_dim=16,
+                             headline_arch=True)
+    assert model.z_dim is None          # defaults to r_dim
+    assert model.is_global
+    assert model.n_z_samples_train == 16 and model.n_z_samples_test == 16
+    assert model.min_sigma_pred == pytest.approx(1e-4)  # SigLB False
+
+    sampler = GPSampler(n_points=24, **KERNEL_CONFIGS["RBF_Kernel"])
+    splitter = CntxtTrgtSplitter(
+        contexts_getter=GetRandomIndcs(a=0.0, b=8), targets_getter=get_all_indcs
+    )
+    tx = make_optimizer(lr=1e-3, decay_lr=None)
+    trainer = Trainer(model, NLLLossLNPF(), tx, splitter=splitter)
+    key = jax.random.PRNGKey(0)
+    x, y = sampler.sample(key, 4)
+    state = create_train_state(model, tx, splitter(key, x, y), seed=0)
+    state, metrics = trainer._train_step(state, x, y)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_parse_variant_roundtrip():
+    from experiments.eval_pretrained_ablation import parse_variant
+
+    for name in ("LNP", "AttnLNP", "ConvLNP"):
+        for elbo in (True, False):
+            for lat in (True, False):
+                for sig in (True, False):
+                    v = variant_name(name, elbo, lat, sig)
+                    base, flags = parse_variant(v)
+                    assert base == name
+                    assert flags == {"ELBO": elbo, "LatLB": lat, "SigLB": sig}
