@@ -181,3 +181,23 @@ def test_add_y_dim():
 
     out = add_y_dim(models, {"rgb": FakeDS()})
     assert out["rgb"]["CNP"].y_dim == 3
+
+
+def test_make_viz_smoke(tmp_path, monkeypatch):
+    """experiments/make_viz.py regenerates the posterior-sweep figures + GIF
+    from a checked-in run dir (reference jupyter/gifs workflow); must rebuild
+    the exact param tree (incl. init scheme and norm-eps) of the checkpoint."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from experiments.make_viz import viz_run
+
+    run_dir = os.path.join(
+        os.path.dirname(__file__), "..", "results", "RBF_Kernel", "CNP", "run_0"
+    )
+    if not os.path.exists(os.path.join(run_dir, "params.msgpack")):
+        pytest.skip("no checked-in RBF CNP checkpoint")
+    monkeypatch.chdir(os.path.join(os.path.dirname(__file__), ".."))
+    viz_run("RBF_Kernel", "CNP", out_dir=str(tmp_path))
+    assert (tmp_path / "RBF_Kernel_CNP_c10.png").exists()
+    assert (tmp_path / "RBF_Kernel_CNP.gif").exists()
