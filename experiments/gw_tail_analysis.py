@@ -10,6 +10,9 @@ concentrated at low Mc implicates grid resolution; a spin-correlated tail
 implicates conditioning capacity.
 
 Usage: python experiments/gw_tail_analysis.py results/GW_.../ConvCNP/run_0
+       python experiments/gw_tail_analysis.py --plot run_dir [run_dir ...]
+         (writes results/viz/gw_tail_mc.png overlaying mismatch-vs-Mc for
+          each run — the failure-mode evidence figure)
 """
 
 from __future__ import annotations
@@ -50,6 +53,45 @@ def analyze(run_dir):
     return out
 
 
+def plot(run_dirs, out_path="results/viz/gw_tail_mc.png"):
+    """Median mismatch vs chirp-mass decile, one line per run, log-y, with
+    the 0.03 matched-filter threshold. Labels derive from the run tag."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(7, 4.2))
+    for run_dir in run_dirs:
+        d = np.loadtxt(os.path.join(run_dir, "mismatch_theta.csv"),
+                       delimiter=",", skiprows=1)
+        mm, m1, m2 = d[:, 0], d[:, 1], d[:, 2]
+        mtot = m1 + m2
+        mc = mtot * (m1 * m2 / mtot**2) ** 0.6
+        edges = np.percentile(mc, np.linspace(0, 100, 11))
+        mids, med = [], []
+        for lo, hi in zip(edges[:-1], edges[1:]):
+            sel = (mc >= lo) & (mc <= hi)
+            mids.append(np.median(mc[sel]))
+            med.append(np.median(mm[sel]))
+        label = run_dir.rstrip("/").split(os.sep)[-3].replace("GW_time_", "")
+        ax.plot(mids, med, marker="o", label=label)
+    ax.axhline(0.03, color="k", ls="--", lw=0.8, label="0.03 threshold")
+    ax.set_yscale("log")
+    ax.set_xlabel(r"chirp mass $\mathcal{M}_c$ [$M_\odot$] (decile medians)")
+    ax.set_ylabel("median mismatch")
+    ax.set_title("GW reconstruction tail is a low-chirp-mass resolution limit")
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    fig.savefig(out_path, dpi=110)
+    print(f"wrote {out_path}")
+
+
 if __name__ == "__main__":
-    for run_dir in sys.argv[1:]:
-        print(json.dumps(analyze(run_dir)))
+    args = sys.argv[1:]
+    if args and args[0] == "--plot":
+        plot(args[1:])
+    else:
+        for run_dir in args:
+            print(json.dumps(analyze(run_dir)))
