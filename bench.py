@@ -145,6 +145,7 @@ def measure(
     out = {
         "batch_size": batch_size,
         "n_points": n_points,
+        "density_induced": density_induced,
         "use_pallas_setconv": use_pallas,
         "waveforms_per_sec_per_chip": round(wf_per_sec, 2),
         "flops_per_step": flops_step,
@@ -182,16 +183,35 @@ def main():
         if args.detail_fast and os.path.exists("BENCH_DETAIL.json"):
             with open("BENCH_DETAIL.json") as f:
                 detail["sweep"] = json.load(f).get("sweep", [])
+
+        def flush():
+            ok = [r for r in detail["sweep"] if "error" not in r]
+            if ok:
+                detail["flagship"] = max(
+                    ok, key=lambda r: r["waveforms_per_sec_per_chip"]
+                )
+            with open("BENCH_DETAIL.json", "w") as f:
+                json.dump(detail, f, indent=2)
+
+        def safe_measure(**kw):
+            # one failing config (e.g. a compile OOM) must not discard the
+            # rows already measured — record it and keep the file current
+            try:
+                return measure(**kw)
+            except Exception as e:
+                return {**kw, "error": f"{type(e).__name__}: {e}"[:500]}
+
         batches = (256,) if args.detail_fast else (32, 64, 128, 256, 512)
         for bs in batches:
             for use_pallas in (False, True):
-                r = measure(batch_size=bs, use_pallas=use_pallas)
+                r = safe_measure(batch_size=bs, use_pallas=use_pallas)
                 detail["sweep"] = [
                     s for s in detail["sweep"]
                     if not (s["batch_size"] == bs
                             and s["use_pallas_setconv"] == use_pallas)
                 ] + [r]
                 print(json.dumps(r), flush=True)
+                flush()
         # long-waveform regime (2048-point waveforms, contexts up to 1024).
         # The induced grid must SCALE with waveform length for ConvCNP's
         # 3x-density grid semantics to hold over long signals — this is the
@@ -201,7 +221,7 @@ def main():
         # density 2048 is the PROFILE_OPS op-level-win shape (grid 6144).
         for density in (512, 2048):
             for use_pallas in (False, True):
-                r = measure(
+                r = safe_measure(
                     batch_size=16,
                     n_points=2048,
                     n_context=1024,
@@ -209,13 +229,10 @@ def main():
                     use_pallas=use_pallas,
                     density_induced=density,
                 )
+                r.setdefault("density_induced", density)
                 detail["long_context"].append(r)
                 print(json.dumps(r), flush=True)
-        detail["flagship"] = max(
-            detail["sweep"], key=lambda r: r["waveforms_per_sec_per_chip"]
-        )
-        with open("BENCH_DETAIL.json", "w") as f:
-            json.dump(detail, f, indent=2)
+                flush()
         return
 
     r = measure(batch_size=args.batch, n_inner=args.inner)

@@ -31,6 +31,12 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+# keys per in-kernel chunk when K is too large for (TQ, K) temporaries to
+# fit the ~16MB scoped-VMEM budget (TQ=512: chunked path cuts peak scratch
+# from 4·TQ·K·4B to ~4·TQ·TK·4B ≈ 8MB)
+_TK_CHUNK = 2048
+
+
 def _fwd_kernel(sigma_ref, keys_ref, queries_ref, values_ref, mask_ref,
                 out_sig_ref, out_den_ref, *, p: int):
     sigma = sigma_ref[0, 0]
@@ -38,26 +44,71 @@ def _fwd_kernel(sigma_ref, keys_ref, queries_ref, values_ref, mask_ref,
     tq = out_sig_ref.shape[1]
     q = queries_ref[0].reshape(tq, 1)  # (TQ, 1)
     msk2 = mask_ref[0] > 0.5  # (1, K)
+    K = k.shape[-1]
 
-    dist = jnp.abs(k - q)  # (TQ, K)
-    if p == 2:
-        inp = -((dist / sigma) ** 2)
-    else:
-        inp = -((dist / sigma) ** p)
+    def weights_chunk(lo, tk):
+        """(TQ, tk) masked log-weights + raw exp for one key chunk."""
+        kc = jax.lax.dynamic_slice_in_dim(k, lo, tk, axis=1)
+        mc = jax.lax.dynamic_slice_in_dim(msk2, lo, tk, axis=1)
+        dist = jnp.abs(kc - q)
+        if p == 2:
+            inp = -((dist / sigma) ** 2)
+        else:
+            inp = -((dist / sigma) ** p)
+        return inp, mc
 
-    neg = jnp.where(msk2, inp, NEG)
-    m = jnp.max(neg, axis=1, keepdims=True)
-    unnorm = jnp.exp(neg - m) * msk2.astype(inp.dtype)
-    wsum = jnp.sum(unnorm, axis=1, keepdims=True)
-    w = unnorm / jnp.maximum(wsum, 1e-30)  # (TQ, K)
+    if K <= _TK_CHUNK:
+        inp, mc = weights_chunk(0, K)
+        neg = jnp.where(mc, inp, NEG)
+        m = jnp.max(neg, axis=1, keepdims=True)
+        unnorm = jnp.exp(neg - m) * mc.astype(inp.dtype)
+        wsum = jnp.sum(unnorm, axis=1, keepdims=True)
+        w = unnorm / jnp.maximum(wsum, 1e-30)  # (TQ, K)
+        out_sig_ref[0] = jnp.dot(
+            w, values_ref[0], preferred_element_type=jnp.float32
+        )
+        # density: RAW exp sum (underflow far from context is the semantic)
+        out_den_ref[0] = jnp.sum(
+            jnp.exp(inp) * mc.astype(inp.dtype), axis=1
+        ).reshape(1, tq)
+        return
 
-    out_sig_ref[0] = jnp.dot(
-        w, values_ref[0], preferred_element_type=jnp.float32
+    # Large-K path: two passes over key chunks so peak scratch is
+    # O(TQ·TK), exactly the softmax the vectorized path computes.
+    n_chunks = pl.cdiv(K, _TK_CHUNK)  # K is static; assume padded to chunk
+
+    def max_body(i, m):
+        inp, mc = weights_chunk(i * _TK_CHUNK, _TK_CHUNK)
+        neg = jnp.where(mc, inp, NEG)
+        return jnp.maximum(m, jnp.max(neg, axis=1, keepdims=True))
+
+    m = jax.lax.fori_loop(
+        0, n_chunks, max_body, jnp.full((tq, 1), NEG, jnp.float32)
     )
-    # density: RAW exp sum (underflow to 0 far from context is the semantic)
-    out_den_ref[0] = jnp.sum(
-        jnp.exp(inp) * msk2.astype(inp.dtype), axis=1
-    ).reshape(1, tq)
+
+    def acc_body(i, carry):
+        sig_acc, wsum, den = carry
+        inp, mc = weights_chunk(i * _TK_CHUNK, _TK_CHUNK)
+        neg = jnp.where(mc, inp, NEG)
+        unnorm = jnp.exp(neg - m) * mc.astype(inp.dtype)
+        vc = jax.lax.dynamic_slice_in_dim(
+            values_ref[0], i * _TK_CHUNK, _TK_CHUNK, axis=0
+        )
+        sig_acc = sig_acc + jnp.dot(
+            unnorm, vc, preferred_element_type=jnp.float32
+        )
+        wsum = wsum + jnp.sum(unnorm, axis=1, keepdims=True)
+        den = den + jnp.sum(jnp.exp(inp) * mc.astype(inp.dtype), axis=1)
+        return sig_acc, wsum, den
+
+    C = out_sig_ref.shape[-1]
+    sig_acc, wsum, den = jax.lax.fori_loop(
+        0, n_chunks, acc_body,
+        (jnp.zeros((tq, C), jnp.float32), jnp.zeros((tq, 1), jnp.float32),
+         jnp.zeros((tq,), jnp.float32)),
+    )
+    out_sig_ref[0] = sig_acc / jnp.maximum(wsum, 1e-30)
+    out_den_ref[0] = den.reshape(1, tq)
 
 
 def _setconv_pallas_fwd_impl(keys, queries, values, maskf, sigma, p):
@@ -66,6 +117,15 @@ def _setconv_pallas_fwd_impl(keys, queries, values, maskf, sigma, p):
     B, K = keys.shape
     Q = queries.shape[1]
     C = values.shape[-1]
+
+    if K > _TK_CHUNK and K % _TK_CHUNK:
+        # chunked kernel path slices K in _TK_CHUNK steps; pad with
+        # masked-out keys (mask 0 -> zero weight and zero density)
+        padk = _round_up(K, _TK_CHUNK) - K
+        keys = jnp.pad(keys, ((0, 0), (0, padk)))
+        maskf = jnp.pad(maskf, ((0, 0), (0, padk)))
+        values = jnp.pad(values, ((0, 0), (0, padk), (0, 0)))
+        K += padk
 
     TQ = min(512, _round_up(Q, 128))
     grid = (B, pl.cdiv(Q, TQ))

@@ -75,3 +75,41 @@ def test_setconv_module_pallas_flag():
     np.testing.assert_allclose(
         np.asarray(out_pal), np.asarray(out_ref), atol=1e-5
     )
+
+
+def test_pallas_chunked_large_k_matches_xla(monkeypatch):
+    """K > _TK_CHUNK takes the two-pass chunked path (VMEM-bounded scratch
+    for long-context grids, e.g. 6144-key induced grids); force a tiny
+    chunk so CPU interpret mode exercises chunking + K-padding cheaply."""
+    import npf_gwwaveform_tpu.ops.pallas.setconv_kernel as sk
+
+    monkeypatch.setattr(sk, "_TK_CHUNK", 32)
+    rng = np.random.default_rng(2)
+    B, K, Q, C = 2, 81, 96, 8  # K % chunk != 0 -> exercises mask padding
+    keys = jnp.asarray(rng.uniform(-1, 1, (B, K, 1)), jnp.float32)
+    queries = jnp.asarray(rng.uniform(-1.5, 1.5, (B, Q, 1)), jnp.float32)
+    values = jnp.asarray(rng.normal(size=(B, K, C)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=(B, K)) > 0.3)
+    sigma = 0.05
+
+    ours = sk.setconv_exprbf_pallas(keys, queries, values, mask, sigma)
+    ref = _xla_reference(keys, queries, values, mask, sigma)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+    # empty-context batch row must still give zero signal + zero density
+    mask0 = mask.at[0].set(False)
+    out0 = sk.setconv_exprbf_pallas(keys, queries, values, mask0, sigma)
+    np.testing.assert_allclose(np.asarray(out0[0]), 0.0, atol=1e-6)
+
+
+def test_pallas_chunked_real_shape_smoke():
+    """One real >2048-key shape through the chunked path (interpret mode)."""
+    rng = np.random.default_rng(3)
+    B, K, Q, C = 1, 2176, 64, 4  # 2176 = 2048 + 128 -> padded to 4096
+    keys = jnp.asarray(rng.uniform(-1, 1, (B, K, 1)), jnp.float32)
+    queries = jnp.asarray(rng.uniform(-1.2, 1.2, (B, Q, 1)), jnp.float32)
+    values = jnp.asarray(rng.normal(size=(B, K, C)), jnp.float32)
+    mask = jnp.ones((B, K), bool)
+    ours = setconv_exprbf_pallas(keys, queries, values, mask, 0.05)
+    ref = _xla_reference(keys, queries, values, mask, 0.05)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-4)
