@@ -36,29 +36,39 @@ def _round_up(x, m):
 # from 4·TQ·K·4B to ~4·TQ·TK·4B ≈ 8MB)
 _TK_CHUNK = 2048
 
+# tests set this to False to force real Mosaic lowering (via jax.export
+# platforms=['tpu']) even when the process backend is CPU; None = interpret
+# iff running on CPU
+_INTERPRET_OVERRIDE = None
+
 
 def _fwd_kernel(sigma_ref, keys_ref, queries_ref, values_ref, mask_ref,
                 out_sig_ref, out_den_ref, *, p: int):
     sigma = sigma_ref[0, 0]
-    k = keys_ref[0]  # (1, K)
     tq = out_sig_ref.shape[1]
     q = queries_ref[0].reshape(tq, 1)  # (TQ, 1)
-    msk2 = mask_ref[0] > 0.5  # (1, K)
-    K = k.shape[-1]
+    K = keys_ref.shape[-1]
 
-    def weights_chunk(lo, tk):
-        """(TQ, tk) masked log-weights + raw exp for one key chunk."""
-        kc = jax.lax.dynamic_slice_in_dim(k, lo, tk, axis=1)
-        mc = jax.lax.dynamic_slice_in_dim(msk2, lo, tk, axis=1)
+    def logits(kc, mc_raw):
+        """(TQ, tk) masked log-weights for one key chunk (kc (1, tk))."""
         dist = jnp.abs(kc - q)
         if p == 2:
             inp = -((dist / sigma) ** 2)
         else:
             inp = -((dist / sigma) ** p)
-        return inp, mc
+        return inp, mc_raw > 0.5
+
+    # NOTE: chunk loads use pl.ds on the REFS (not lax.dynamic_slice on
+    # loaded arrays) — Mosaic has no lowering for the dynamic_slice
+    # primitive inside a TPU kernel, only for dynamic ref indexing.
+    def load_chunk(i):
+        sl = pl.ds(i * _TK_CHUNK, _TK_CHUNK)
+        kc = keys_ref[0, :, sl]          # (1, TK)
+        mc = mask_ref[0, :, sl]          # (1, TK)
+        return logits(kc, mc)
 
     if K <= _TK_CHUNK:
-        inp, mc = weights_chunk(0, K)
+        inp, mc = logits(keys_ref[0], mask_ref[0])
         neg = jnp.where(mc, inp, NEG)
         m = jnp.max(neg, axis=1, keepdims=True)
         unnorm = jnp.exp(neg - m) * mc.astype(inp.dtype)
@@ -78,7 +88,7 @@ def _fwd_kernel(sigma_ref, keys_ref, queries_ref, values_ref, mask_ref,
     n_chunks = pl.cdiv(K, _TK_CHUNK)  # K is static; assume padded to chunk
 
     def max_body(i, m):
-        inp, mc = weights_chunk(i * _TK_CHUNK, _TK_CHUNK)
+        inp, mc = load_chunk(i)
         neg = jnp.where(mc, inp, NEG)
         return jnp.maximum(m, jnp.max(neg, axis=1, keepdims=True))
 
@@ -88,12 +98,10 @@ def _fwd_kernel(sigma_ref, keys_ref, queries_ref, values_ref, mask_ref,
 
     def acc_body(i, carry):
         sig_acc, wsum, den = carry
-        inp, mc = weights_chunk(i * _TK_CHUNK, _TK_CHUNK)
+        inp, mc = load_chunk(i)
         neg = jnp.where(mc, inp, NEG)
         unnorm = jnp.exp(neg - m) * mc.astype(inp.dtype)
-        vc = jax.lax.dynamic_slice_in_dim(
-            values_ref[0], i * _TK_CHUNK, _TK_CHUNK, axis=0
-        )
+        vc = values_ref[0, pl.ds(i * _TK_CHUNK, _TK_CHUNK), :]
         sig_acc = sig_acc + jnp.dot(
             unnorm, vc, preferred_element_type=jnp.float32
         )
@@ -155,7 +163,8 @@ def _setconv_pallas_fwd_impl(keys, queries, values, maskf, sigma, p):
             jax.ShapeDtypeStruct((B, Q, C), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, Q), jnp.float32),
         ],
-        interpret=jax.default_backend() == "cpu",
+        interpret=(_INTERPRET_OVERRIDE if _INTERPRET_OVERRIDE is not None
+                   else jax.default_backend() == "cpu"),
     )(sigma_arr, keys3, queries3, values.astype(jnp.float32), mask3)
     return out_sig, out_den[:, 0, :]
 
