@@ -187,8 +187,10 @@ def main():
         def flush():
             ok = [r for r in detail["sweep"] if "error" not in r]
             if ok:
+                # prefer rows with full MFU accounting (older merged rows may
+                # predate the corrected FLOPs counter and lack the field)
                 detail["flagship"] = max(
-                    ok, key=lambda r: r["waveforms_per_sec_per_chip"]
+                    ok, key=lambda r: ("mfu" in r, r["waveforms_per_sec_per_chip"])
                 )
             with open("BENCH_DETAIL.json", "w") as f:
                 json.dump(detail, f, indent=2)
@@ -199,7 +201,11 @@ def main():
             try:
                 return measure(**kw)
             except Exception as e:
-                return {**kw, "error": f"{type(e).__name__}: {e}"[:500]}
+                r = {**kw, "error": f"{type(e).__name__}: {e}"[:500]}
+                # normalize the kwarg name so dedup/readers see one key
+                if "use_pallas" in r:
+                    r["use_pallas_setconv"] = r.pop("use_pallas")
+                return r
 
         batches = (256,) if args.detail_fast else (32, 64, 128, 256, 512)
         for bs in batches:
@@ -208,7 +214,8 @@ def main():
                 detail["sweep"] = [
                     s for s in detail["sweep"]
                     if not (s["batch_size"] == bs
-                            and s["use_pallas_setconv"] == use_pallas)
+                            and s.get("use_pallas_setconv",
+                                      s.get("use_pallas")) == use_pallas)
                 ] + [r]
                 print(json.dumps(r), flush=True)
                 flush()
