@@ -78,13 +78,22 @@ def main():
     y_dim = 1 if args.mode == "time" else 2
 
     dtype = jnp.bfloat16 if args.bf16 else None
-    model = build_model(args.model, dtype=dtype)
+    # --cnn-kernel must go through gp_model_1d: the notebook-parity configs
+    # build the CNN via a CNNFactory closure, so cloning the model's
+    # cnn_kernel_size field after the fact is a silent no-op (the factory's
+    # captured k=19 wins — bug found when a k=37 run reproduced the k=19
+    # metrics bit-for-bit under fixed seeds).
+    if args.cnn_kernel:
+        from npf_gwwaveform_tpu.configs import gp_model_1d
+
+        model = gp_model_1d(args.model, dtype=dtype, cnn_kernel_size=args.cnn_kernel)
+    else:
+        model = build_model(args.model, dtype=dtype)
     model = model.clone(
         y_dim=y_dim,
         cond_dim=4 if args.cond else 0,
         cond_mode=args.cond_mode,
         **({"density_induced": args.density} if args.density else {}),
-        **({"cnn_kernel_size": args.cnn_kernel} if args.cnn_kernel else {}),
     )
     criterion = criterion_for(args.model)
     splitter = CntxtTrgtSplitter(

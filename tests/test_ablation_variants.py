@@ -86,3 +86,34 @@ def test_parse_variant_roundtrip():
                     base, flags = parse_variant(v)
                     assert base == name
                     assert flags == {"ELBO": elbo, "LatLB": lat, "SigLB": sig}
+
+
+def test_gp_model_1d_cnn_kernel_size_reaches_conv():
+    """gp_model_1d(cnn_kernel_size=...) must change the actual conv kernels.
+
+    Regression: the notebook-parity configs build the CNN through a
+    CNNFactory closure, so model.clone(cnn_kernel_size=...) after the fact is
+    a silent no-op (caught when a k=37 GW run reproduced the k=19 run's
+    metrics bit-for-bit under fixed seeds). reproduce_gw.py --cnn-kernel now
+    rebuilds via gp_model_1d — this pins the plumbing."""
+    from npf_gwwaveform_tpu.configs import gp_model_1d
+
+    key = jax.random.PRNGKey(0)
+    x = np.zeros((2, 16, 1), dtype=np.float32)
+    y = np.zeros((2, 16, 1), dtype=np.float32)
+    splitter = CntxtTrgtSplitter(
+        contexts_getter=GetRandomIndcs(a=0.0, b=8), targets_getter=get_all_indcs
+    )
+    batch = splitter(key, x, y)
+    for k_want in (7, 37):
+        model = gp_model_1d("ConvCNP", cnn_kernel_size=k_want)
+        variables = model.init(
+            key, batch["X_cntxt"], batch["Y_cntxt"], batch["X_trgt"],
+            mask_cntxt=batch["mask_cntxt"], mask_trgt=batch["mask_trgt"],
+        )
+        k_sizes = {
+            leaf.shape[0]
+            for path, leaf in jax.tree_util.tree_leaves_with_path(variables["params"])
+            if leaf.ndim == 3 and "depthwise" in jax.tree_util.keystr(path)
+        }
+        assert k_want in k_sizes, (k_want, k_sizes)
