@@ -58,6 +58,15 @@ def main():
         "64, which degrades the mismatch median even as resolution helps "
         "the tail",
     )
+    ap.add_argument(
+        "--cnn-dilations", default=None,
+        help="comma-separated per-block dilations for the grid CNN, e.g. "
+        "'1,1,2,4,8' (ConvCNP has 5 blocks). Multi-scale alternative to "
+        "--cnn-kernel: undilated early blocks keep fine phase resolution "
+        "while dilated late blocks restore the physical receptive field a "
+        "dense grid shrinks — targets getting BOTH the d64 median and the "
+        "d128 tail (RESULTS.md GW analysis)",
+    )
     ap.add_argument("--out", default="results/")
     args = ap.parse_args()
 
@@ -83,10 +92,18 @@ def main():
     # cnn_kernel_size field after the fact is a silent no-op (the factory's
     # captured k=19 wins — bug found when a k=37 run reproduced the k=19
     # metrics bit-for-bit under fixed seeds).
-    if args.cnn_kernel:
+    dilations = (
+        tuple(int(d) for d in args.cnn_dilations.split(",")) if args.cnn_dilations else None
+    )
+    if args.cnn_kernel or dilations:
         from npf_gwwaveform_tpu.configs import gp_model_1d
 
-        model = gp_model_1d(args.model, dtype=dtype, cnn_kernel_size=args.cnn_kernel)
+        model = gp_model_1d(
+            args.model,
+            dtype=dtype,
+            cnn_kernel_size=args.cnn_kernel or 19,
+            cnn_dilations=dilations,
+        )
     else:
         model = build_model(args.model, dtype=dtype)
     model = model.clone(
@@ -250,6 +267,9 @@ def main():
     if args.cnn_kernel:
         tag += f"_k{args.cnn_kernel}"
         summary["cnn_kernel_size"] = args.cnn_kernel
+    if dilations:
+        tag += "_dil" + "-".join(str(d) for d in dilations)
+        summary["cnn_dilations"] = list(dilations)
     run_dir = os.path.join(args.out, tag, args.model, "run_0")
     os.makedirs(run_dir, exist_ok=True)
     np.savetxt(os.path.join(run_dir, "eval.csv"), -nlls, delimiter=",")

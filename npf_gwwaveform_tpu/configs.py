@@ -38,18 +38,20 @@ def _xy_encoder(hidden_size, dtype=None):
     )
 
 
-def _cnn_factory(n_blocks, dtype=None, kernel_size=19, norm_eps=1e-3):
+def _cnn_factory(n_blocks, dtype=None, kernel_size=19, norm_eps=1e-3, dilations=None):
     # ConvCNP.ipynb CNN_KWARGS: ResConvBlock, n_conv_layers=2, k=19, BatchNorm
     # (the Matern_Kernel pretrained ConvCNP checkpoint was trained with k=15).
     # norm_eps=1e-3 is our training-stability default; the reference's
     # pretrained checkpoints use torch's 1e-5 — pass that for ported-weight
-    # parity evals.
+    # parity evals. `dilations` (per-block) is a multi-scale extension over
+    # the reference for dense induced grids (None = reference behavior).
     def make(r_dim, name=None):
         return CNN(
             n_channels=r_dim,
             n_blocks=n_blocks,
             kernel_size=kernel_size,
             norm="batch",
+            dilations=dilations,
             block_kwargs={"n_conv_layers": 2, "norm_eps": norm_eps},
             dtype=dtype,
             name=name,
@@ -64,6 +66,7 @@ def gp_model_1d(
     dtype: Optional[jnp.dtype] = None,
     cnn_kernel_size: int = 19,
     cnn_norm_eps: float = 1e-3,
+    cnn_dilations: Optional[tuple] = None,
 ):
     """The exact 1-D model the reference's notebook benchmarks use."""
     common = dict(y_dim=1, x_dim=1, r_dim=r_dim, dtype=dtype)
@@ -99,13 +102,13 @@ def gp_model_1d(
         return ConvCNP(
             **common,
             density_induced=64,
-            CNNFactory=_cnn_factory(5, dtype, cnn_kernel_size, cnn_norm_eps),
+            CNNFactory=_cnn_factory(5, dtype, cnn_kernel_size, cnn_norm_eps, cnn_dilations),
         )
     if name == "ConvLNP":
         return ConvLNP(
             **common,
             density_induced=64,
-            CNNFactory=_cnn_factory(4, dtype, cnn_kernel_size, cnn_norm_eps),
+            CNNFactory=_cnn_factory(4, dtype, cnn_kernel_size, cnn_norm_eps, cnn_dilations),
             is_q_zCct=False,  # NPML
             n_z_samples_train=16,
             n_z_samples_test=32,

@@ -49,6 +49,7 @@ class DepthSepConv(nn.Module):
     kernel_size: int
     use_bias: bool = True
     padding: str = "SAME"  # or "CIRCULAR" for periodic boundaries
+    dilation: int = 1
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -61,6 +62,7 @@ class DepthSepConv(nn.Module):
             padding=self.padding,
             feature_group_count=in_chan,
             use_bias=self.use_bias,
+            kernel_dilation=(self.dilation,) * n_spatial,
             kernel_init=winit.kaiming_normal_fanout,
             dtype=self.dtype,
             name="depthwise",
@@ -109,6 +111,7 @@ class ResConvBlock(nn.Module):
     is_bias: bool = True
     padding: str = "SAME"  # "CIRCULAR" gives full translation equivariance
     norm_eps: float = 1e-3
+    dilation: int = 1
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -128,6 +131,7 @@ class ResConvBlock(nn.Module):
                 self.kernel_size,
                 use_bias=self.is_bias,
                 padding=self.padding,
+                dilation=self.dilation,
                 dtype=self.dtype,
                 name="conv1",
             )(out)
@@ -140,6 +144,7 @@ class ResConvBlock(nn.Module):
             padding=self.padding,
             feature_group_count=in_chan,
             use_bias=self.is_bias,
+            kernel_dilation=(self.dilation,) * n_spatial,
             kernel_init=winit.kaiming_normal_fanout,
             dtype=self.dtype,
             name="conv2_depthwise",
@@ -251,13 +256,22 @@ def _channel_list(n_channels: Union[int, Sequence[int]], n_blocks: int):
 
 
 class CNN(nn.Module):
-    """Sequential stack of ConvBlocks, channel-last (reference cnn.py:307-380)."""
+    """Sequential stack of ConvBlocks, channel-last (reference cnn.py:307-380).
+
+    `dilations` (one per block, e.g. (1, 1, 2, 4, 8)) makes the stack
+    MULTI-SCALE: undilated early blocks keep full grid resolution while
+    dilated later blocks extend the physical receptive field without the
+    smoothing a wider kernel causes — the fix for the resolution-vs-RF
+    trade-off seen on dense induced grids (RESULTS.md GW d128 analysis).
+    Dilation is an extension over the reference (its CNN is undilated);
+    default None preserves exact reference behavior."""
 
     n_channels: Union[int, Sequence[int]]
     n_blocks: int = 3
     kernel_size: int = 5
     norm: Optional[str] = None
     padding: str = "SAME"
+    dilations: Optional[Sequence[int]] = None
     ConvBlockModule: Callable[..., nn.Module] = ResConvBlock
     block_kwargs: Optional[dict] = None
     dtype: Optional[jnp.dtype] = None
@@ -265,7 +279,12 @@ class CNN(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
         chans = _channel_list(self.n_channels, self.n_blocks)
+        if self.dilations is not None and len(self.dilations) != self.n_blocks:
+            raise ValueError(
+                f"dilations {self.dilations} must have n_blocks={self.n_blocks} entries"
+            )
         for i, out_chan in enumerate(chans[1:]):
+            dil = {} if self.dilations is None else {"dilation": int(self.dilations[i])}
             x = self.ConvBlockModule(
                 out_chan,
                 kernel_size=self.kernel_size,
@@ -273,6 +292,7 @@ class CNN(nn.Module):
                 padding=self.padding,
                 dtype=self.dtype,
                 name=f"block_{i}",
+                **dil,
                 **(self.block_kwargs or {}),
             )(x, train=train)
         return x

@@ -117,3 +117,43 @@ def test_gp_model_1d_cnn_kernel_size_reaches_conv():
             if leaf.ndim == 3 and "depthwise" in jax.tree_util.keystr(path)
         }
         assert k_want in k_sizes, (k_want, k_sizes)
+
+
+def test_gp_model_1d_cnn_dilations_reach_conv():
+    """gp_model_1d(cnn_dilations=...) must change the conv geometry.
+
+    Dilation leaves parameter SHAPES unchanged, so the shape check used for
+    cnn_kernel_size can't catch a silent no-op here; instead apply the same
+    params under dilated and undilated models: all-ones dilation must match
+    the default exactly, a real multi-scale dilation must differ."""
+    from npf_gwwaveform_tpu.configs import gp_model_1d
+
+    key = jax.random.PRNGKey(0)
+    rng = np.random.RandomState(0)
+    x = np.sort(rng.uniform(-1, 1, (2, 16, 1)).astype(np.float32), axis=1)
+    y = rng.randn(2, 16, 1).astype(np.float32)
+    splitter = CntxtTrgtSplitter(
+        contexts_getter=GetRandomIndcs(a=4.0, b=8), targets_getter=get_all_indcs
+    )
+    batch = splitter(key, x, y)
+
+    def fwd(model, variables):
+        out = model.apply(
+            variables, batch["X_cntxt"], batch["Y_cntxt"], batch["X_trgt"],
+            mask_cntxt=batch["mask_cntxt"], mask_trgt=batch["mask_trgt"],
+            train=False, rngs={"sample": key},
+        )
+        return np.asarray(out[0].loc)
+
+    base = gp_model_1d("ConvCNP", cnn_kernel_size=5)
+    variables = base.init(
+        key, batch["X_cntxt"], batch["Y_cntxt"], batch["X_trgt"],
+        mask_cntxt=batch["mask_cntxt"], mask_trgt=batch["mask_trgt"],
+    )
+    ref = fwd(base, variables)
+    ones = fwd(gp_model_1d("ConvCNP", cnn_kernel_size=5,
+                           cnn_dilations=(1, 1, 1, 1, 1)), variables)
+    np.testing.assert_allclose(ones, ref, rtol=1e-6, atol=1e-6)
+    dil = fwd(gp_model_1d("ConvCNP", cnn_kernel_size=5,
+                          cnn_dilations=(1, 1, 2, 4, 8)), variables)
+    assert np.abs(dil - ref).max() > 1e-4
