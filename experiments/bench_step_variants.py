@@ -1,0 +1,187 @@
+"""A/B microbench of train-step composition variants on the live chip.
+
+Motivated by experiments/profile_step_breakdown.py (RESULTS.md): at the
+flagship batch-256 operating point the context/target split costs ~17% of
+the step (362us) and the FUSED step runs 1.4x slower than the sum of its
+stages (2.1x at batch 512) — an XLA scheduling/liveness pathology of the
+combined program.
+
+Two candidate fixes, each timed here against the incumbent:
+
+1. split: `GetRandomIndcs` computes per-point ranks via DOUBLE argsort of
+   uniform scores (datasplit.py:140). Variants:
+     - scatter-iota: one argsort + scatter of iota<n into original positions
+       (bit-identical masks: same sort, same tie-breaking);
+     - sort-threshold: value-only sort + per-row gather of the n-th order
+       statistic as a threshold (equivalent in distribution; may differ
+       bitwise when f32 score ties span the count boundary).
+2. fused step: `lax.optimization_barrier` between on-device waveform
+   generation and the model step, forcing XLA to retire the datagen stage
+   (FFT workspace) before conv activations go live.
+
+Writes results/step_variants.json and prints one JSON line per row.
+"""
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def time_fn(fn, *args, n_rep=50):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n_rep
+
+
+# ------------------------------------------------------------ mask variants
+
+
+def mask_double_argsort(key, B, N, a, b):
+    kn, kp = jax.random.split(key)
+    n = jax.random.randint(kn, (), a, b + 1)
+    scores = jax.random.uniform(kp, (B, N))
+    ranks = jnp.argsort(jnp.argsort(scores, axis=-1), axis=-1)
+    return ranks < n
+
+
+def mask_scatter_iota(key, B, N, a, b):
+    kn, kp = jax.random.split(key)
+    n = jax.random.randint(kn, (), a, b + 1)
+    scores = jax.random.uniform(kp, (B, N))
+    order = jnp.argsort(scores, axis=-1)
+    sel = jnp.broadcast_to(jnp.arange(N)[None, :] < n, (B, N))
+    mask = jnp.zeros((B, N), bool)
+    rows = jnp.arange(B)[:, None]
+    return mask.at[rows, order].set(sel)
+
+
+def mask_sort_threshold(key, B, N, a, b):
+    kn, kp = jax.random.split(key)
+    n = jax.random.randint(kn, (), a, b + 1)
+    scores = jax.random.uniform(kp, (B, N))
+    padded = jnp.concatenate(
+        [jnp.sort(scores, axis=-1), jnp.full((B, 1), jnp.inf)], axis=-1
+    )
+    thresh = padded[:, n]  # n-th order statistic (0-indexed: n smallest are < it)
+    return scores < thresh[:, None]
+
+
+# ------------------------------------------------------------ fused GW step
+
+
+def build_step(batch_size, barrier: bool, n_points=256, n_context=64):
+    from npf_gwwaveform_tpu import ConvCNP
+    from npf_gwwaveform_tpu.data import (
+        CntxtTrgtSplitter,
+        GetRandomIndcs,
+        GWParameterSpace,
+        GWWaveformGenerator,
+        get_all_indcs,
+    )
+    from npf_gwwaveform_tpu.losses import CNPFLoss
+    from npf_gwwaveform_tpu.training import (
+        Trainer,
+        create_train_state,
+        make_optimizer,
+    )
+
+    gen = GWWaveformGenerator(duration=1.0, sample_rate=1024.0)
+    space = GWParameterSpace()
+    model = ConvCNP(
+        y_dim=1, x_dim=1, r_dim=128, density_induced=64,
+        cnn_n_blocks=5, cnn_kernel_size=19, dtype=jnp.bfloat16,
+    )
+    splitter = CntxtTrgtSplitter(
+        contexts_getter=GetRandomIndcs(a=0.0, b=n_context),
+        targets_getter=get_all_indcs,
+    )
+    tx = make_optimizer(lr=1e-3, decay_lr=None)
+    trainer = Trainer(model, CNPFLoss(), tx, splitter=splitter)
+
+    stride = gen.n_time // n_points
+    x_grid = jnp.linspace(-1.0, 1.0, n_points)
+
+    def make_batch(key):
+        theta = space.sample(key, batch_size)
+        _, h = gen.time_domain(theta)
+        h = h[..., -n_points * stride :: stride][..., :n_points]
+        x = jnp.broadcast_to(x_grid[None, :, None], (batch_size, n_points, 1))
+        return x, h[..., None]
+
+    key = jax.random.PRNGKey(0)
+    x, y = jax.jit(make_batch)(key)
+    ex_batch = splitter(key, x, y)
+    state = create_train_state(model, tx, ex_batch, seed=0)
+
+    def one_step(state, key):
+        x, y = make_batch(key)
+        if barrier:
+            x, y = jax.lax.optimization_barrier((x, y))
+        new_state, m = trainer._train_step(state, x, y)
+        return new_state, m["loss"]
+
+    n_inner = 50
+
+    @jax.jit
+    def run_chunk(state, key):
+        keys = jax.random.split(key, n_inner)
+        return jax.lax.scan(one_step, state, keys)
+
+    return state, run_chunk, n_inner
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-fused", action="store_true")
+    args = ap.parse_args()
+    rows = []
+
+    # --- split variants at the flagship shape and the long-context shape
+    for B, N in ((256, 256), (256, 128), (16, 2048)):
+        for name, fn in (
+            ("double_argsort", mask_double_argsort),
+            ("scatter_iota", mask_scatter_iota),
+            ("sort_threshold", mask_sort_threshold),
+        ):
+            f = jax.jit(lambda k, fn=fn, B=B, N=N: fn(k, B, N, 0, 64))
+            dt = time_fn(f, jax.random.PRNGKey(0), n_rep=200)
+            row = {"bench": "mask", "variant": name, "B": B, "N": N,
+                   "us": round(dt * 1e6, 1)}
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
+    # --- fused step with/without the datagen barrier
+    if not args.skip_fused:
+        for bs in (256, 512):
+            for barrier in (False, True):
+                state, run_chunk, n_inner = build_step(bs, barrier)
+                state, losses = run_chunk(state, jax.random.PRNGKey(1))
+                jax.block_until_ready(losses)
+                t0 = time.perf_counter()
+                n_chunks = 4
+                for i in range(n_chunks):
+                    state, losses = run_chunk(state, jax.random.PRNGKey(2 + i))
+                jax.block_until_ready(losses)
+                dt = time.perf_counter() - t0
+                wf = n_chunks * n_inner * bs / dt
+                row = {"bench": "fused_step", "batch": bs, "barrier": barrier,
+                       "us_per_step": round(dt / (n_chunks * n_inner) * 1e6, 1),
+                       "wf_per_sec": round(wf, 1)}
+                rows.append(row)
+                print(json.dumps(row), flush=True)
+
+    os.makedirs("results", exist_ok=True)
+    with open("results/step_variants.json", "w") as f:
+        json.dump(rows, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
