@@ -67,6 +67,13 @@ def main():
         "dense grid shrinks — targets getting BOTH the d64 median and the "
         "d128 tail (RESULTS.md GW analysis)",
     )
+    ap.add_argument(
+        "--cnn-arch", default="cnn", choices=["cnn", "unet"],
+        help="grid-CNN architecture: 'cnn' = reference flat stack, 'unet' = "
+        "multi-scale UnetCNN (pooled deep blocks get a large physical RF, "
+        "full-resolution skips keep local phase detail — the other "
+        "multi-scale lever for the GW low-Mc tail)",
+    )
     ap.add_argument("--out", default="results/")
     args = ap.parse_args()
 
@@ -95,7 +102,7 @@ def main():
     dilations = (
         tuple(int(d) for d in args.cnn_dilations.split(",")) if args.cnn_dilations else None
     )
-    if args.cnn_kernel or dilations:
+    if args.cnn_kernel or dilations or args.cnn_arch != "cnn":
         from npf_gwwaveform_tpu.configs import gp_model_1d
 
         model = gp_model_1d(
@@ -103,6 +110,7 @@ def main():
             dtype=dtype,
             cnn_kernel_size=args.cnn_kernel or 19,
             cnn_dilations=dilations,
+            cnn_arch=args.cnn_arch,
         )
     else:
         model = build_model(args.model, dtype=dtype)
@@ -270,6 +278,9 @@ def main():
     if dilations:
         tag += "_dil" + "-".join(str(d) for d in dilations)
         summary["cnn_dilations"] = list(dilations)
+    if args.cnn_arch != "cnn":
+        tag += f"_{args.cnn_arch}"
+        summary["cnn_arch"] = args.cnn_arch
     run_dir = os.path.join(args.out, tag, args.model, "run_0")
     os.makedirs(run_dir, exist_ok=True)
     np.savetxt(os.path.join(run_dir, "eval.csv"), -nlls, delimiter=",")

@@ -60,6 +60,29 @@ def _cnn_factory(n_blocks, dtype=None, kernel_size=19, norm_eps=1e-3, dilations=
     return make
 
 
+def _unet_factory(n_blocks, dtype=None, kernel_size=19, norm_eps=1e-3):
+    # Multi-scale induced-grid CNN: UnetCNN (reference cnn.py:383-516) in
+    # place of the flat CNN stack. An extension over the reference's 1-D
+    # notebook configs (which use the flat CNN) targeting the GW low-Mc
+    # resolution/receptive-field tradeoff: pooling gives the deep blocks a
+    # large physical RF while full-resolution skips keep local phase detail.
+    from .ops.cnn import UnetCNN
+
+    def make(r_dim, name=None):
+        return UnetCNN(
+            n_channels=r_dim,
+            n_blocks=n_blocks if n_blocks % 2 == 1 else n_blocks + 1,
+            kernel_size=kernel_size,
+            norm="batch",
+            max_nchannels=2 * r_dim,
+            block_kwargs={"n_conv_layers": 2, "norm_eps": norm_eps},
+            dtype=dtype,
+            name=name,
+        )
+
+    return make
+
+
 def gp_model_1d(
     name: str,
     r_dim: int = R_DIM,
@@ -67,6 +90,7 @@ def gp_model_1d(
     cnn_kernel_size: int = 19,
     cnn_norm_eps: float = 1e-3,
     cnn_dilations: Optional[tuple] = None,
+    cnn_arch: str = "cnn",
 ):
     """The exact 1-D model the reference's notebook benchmarks use."""
     common = dict(y_dim=1, x_dim=1, r_dim=r_dim, dtype=dtype)
@@ -98,17 +122,25 @@ def gp_model_1d(
             n_z_samples_train=1,
             n_z_samples_test=8,
         )
+    if cnn_arch == "unet":
+        def cnn_factory(n_blocks):
+            return _unet_factory(n_blocks, dtype, cnn_kernel_size, cnn_norm_eps)
+    else:
+        def cnn_factory(n_blocks):
+            return _cnn_factory(
+                n_blocks, dtype, cnn_kernel_size, cnn_norm_eps, cnn_dilations
+            )
     if name == "ConvCNP":
         return ConvCNP(
             **common,
             density_induced=64,
-            CNNFactory=_cnn_factory(5, dtype, cnn_kernel_size, cnn_norm_eps, cnn_dilations),
+            CNNFactory=cnn_factory(5),
         )
     if name == "ConvLNP":
         return ConvLNP(
             **common,
             density_induced=64,
-            CNNFactory=_cnn_factory(4, dtype, cnn_kernel_size, cnn_norm_eps, cnn_dilations),
+            CNNFactory=cnn_factory(4),
             is_q_zCct=False,  # NPML
             n_z_samples_train=16,
             n_z_samples_test=32,

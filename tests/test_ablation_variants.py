@@ -157,3 +157,36 @@ def test_gp_model_1d_cnn_dilations_reach_conv():
     dil = fwd(gp_model_1d("ConvCNP", cnn_kernel_size=5,
                           cnn_dilations=(1, 1, 2, 4, 8)), variables)
     assert np.abs(dil - ref).max() > 1e-4
+
+
+def test_gp_model_1d_cnn_arch_unet_reaches_model():
+    """gp_model_1d(cnn_arch='unet') must swap the induced-grid CNN for
+    UnetCNN (multi-scale skip architecture) — pinned by param structure:
+    the U-Net doubles channels per down level (128 -> 256 at r_dim=128),
+    which the flat CNN stack never does, and the forward pass must run."""
+    from npf_gwwaveform_tpu.configs import gp_model_1d
+
+    key = jax.random.PRNGKey(0)
+    x = np.zeros((2, 16, 1), dtype=np.float32)
+    y = np.zeros((2, 16, 1), dtype=np.float32)
+    splitter = CntxtTrgtSplitter(
+        contexts_getter=GetRandomIndcs(a=0.0, b=8), targets_getter=get_all_indcs
+    )
+    batch = splitter(key, x, y)
+    model = gp_model_1d("ConvCNP", cnn_arch="unet")
+    variables = model.init(
+        key, batch["X_cntxt"], batch["Y_cntxt"], batch["X_trgt"],
+        mask_cntxt=batch["mask_cntxt"], mask_trgt=batch["mask_trgt"],
+    )
+    widths = {
+        leaf.shape[-1]
+        for leaf in jax.tree_util.tree_leaves(variables["params"])
+        if leaf.ndim >= 2
+    }
+    assert 256 in widths, widths  # U-Net channel doubling reached the model
+    out = model.apply(
+        variables, batch["X_cntxt"], batch["Y_cntxt"], batch["X_trgt"],
+        mask_cntxt=batch["mask_cntxt"], mask_trgt=batch["mask_trgt"],
+        train=False,
+    )
+    assert np.isfinite(np.asarray(out.p_yCc.loc, dtype=np.float32)).all()
