@@ -254,5 +254,42 @@ def main():
     print(json.dumps(line))
 
 
+def _wait_for_chip(max_attempts=6, sleep_s=60):
+    """Retry the TPU claim before benchmarking. The axon tunnel's claim can
+    be transiently wedged (observed: UNAVAILABLE for >1h after a killed
+    run); the driver runs this script once at round end, so a cold failure
+    there loses the round's benchmark. JAX caches a failed backend init, so
+    retrying within the process is useless — re-exec instead."""
+    import subprocess
+    import sys
+
+    attempt = int(os.environ.get("BENCH_CLAIM_ATTEMPT", "0"))
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True,
+            timeout=300,
+        )
+        rc, err = probe.returncode, probe.stderr
+    except subprocess.TimeoutExpired:
+        # the claim can also wedge by HANGING rather than erroring
+        rc, err = -1, b"probe timed out after 300s (hung claim)"
+    if rc == 0:
+        return
+    if attempt + 1 >= max_attempts:
+        sys.stderr.write("bench: TPU claim unavailable after retries\n")
+        sys.stderr.write(err.decode(errors="replace")[-2000:] + "\n")
+        sys.exit(1)
+    sys.stderr.write(
+        f"bench: TPU claim unavailable (attempt {attempt + 1}/{max_attempts}), "
+        f"retrying in {sleep_s}s\n"
+    )
+    time.sleep(sleep_s)
+    os.environ["BENCH_CLAIM_ATTEMPT"] = str(attempt + 1)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 if __name__ == "__main__":
+    if not os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        _wait_for_chip()
     main()

@@ -182,7 +182,10 @@ def main():
     t0 = time.time()
     state, losses = run_chunk(state, key)
     jax.block_until_ready(losses)
-    print(f"compile+chunk0: {time.time()-t0:.1f}s loss {float(losses.mean()):.2f}")
+    print(
+        f"compile+chunk0: {time.time()-t0:.1f}s loss {float(losses.mean()):.2f}",
+        flush=True,
+    )
     t0 = time.time()
     # host snapshot + retry-from-snapshot so a dropped device execution
     # (UNAVAILABLE blips observed on the tunnel) resumes instead of dying
