@@ -130,6 +130,38 @@ def test_data_parallel_equivalence():
     np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=2e-4)
 
 
+def test_data_parallel_equivalence_convcnp_batchnorm():
+    """Conv-family DP equivalence: ConvCNP's grid CNN uses BatchNorm, the
+    classic data-parallel failure class (per-shard batch statistics). Under
+    jit-over-mesh the batch-stat reductions must be GLOBAL (XLA inserts the
+    cross-device collectives for the written-as-global program), so the
+    8-device loss trace must match 1-device bit-for-bit up to f32 reduction
+    order — unlike torch DDP, where unsynced BatchNorm silently diverges."""
+    assert jax.device_count() >= 8
+    model = ConvCNP(y_dim=1, x_dim=1, r_dim=16, density_induced=8)
+    tx = make_optimizer(lr=1e-3, decay_lr=None)
+
+    xs = jax.random.uniform(
+        jax.random.PRNGKey(7), (6, 16, 24, 1), minval=-1, maxval=1
+    )
+    ys = jax.random.normal(jax.random.PRNGKey(8), (6, 16, 24, 1))
+
+    def run(mesh):
+        trainer = Trainer(model, CNPFLoss(), tx, splitter=_splitter(), mesh=mesh)
+        batch = _splitter()(jax.random.PRNGKey(0), xs[0], ys[0])
+        state = create_train_state(model, tx, batch, seed=0)
+        losses = []
+        for i in range(xs.shape[0]):
+            state, m = trainer.train_step(state, xs[i], ys[i])
+            losses.append(float(m["loss"]))
+        return np.asarray(losses)
+
+    single = run(None)
+    sharded = run(make_mesh(axes={"data": 8}))
+    assert np.isfinite(single).all()
+    np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=2e-4)
+
+
 def test_train_models_harness(tmp_path):
     """The full train_models loop: artifacts (history.json, eval.csv,
     model_summary.txt, checkpoints) in the reference's run-dir layout."""
