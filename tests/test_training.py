@@ -162,6 +162,39 @@ def test_data_parallel_equivalence_convcnp_batchnorm():
     np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=2e-4)
 
 
+def test_data_parallel_equivalence_lnp_latent_rng():
+    """Latent-family DP equivalence: LNP under NPML draws z-samples with
+    jax.random inside the jitted step. Keys live replicated in TrainState,
+    so the per-step sample draws must be identical 1-vs-8-device — pins
+    RNG-under-mesh determinism (a per-shard-keys bug would silently change
+    the MC objective, not crash)."""
+    assert jax.device_count() >= 8
+    model = LNP(y_dim=1, x_dim=1, r_dim=16, n_z_samples_train=4)
+    tx = make_optimizer(lr=1e-3, decay_lr=None)
+
+    xs = jax.random.uniform(
+        jax.random.PRNGKey(7), (6, 16, 24, 1), minval=-1, maxval=1
+    )
+    ys = jax.random.normal(jax.random.PRNGKey(8), (6, 16, 24, 1))
+
+    def run(mesh):
+        trainer = Trainer(
+            model, NLLLossLNPF(), tx, splitter=_splitter(), mesh=mesh
+        )
+        batch = _splitter()(jax.random.PRNGKey(0), xs[0], ys[0])
+        state = create_train_state(model, tx, batch, seed=0)
+        losses = []
+        for i in range(xs.shape[0]):
+            state, m = trainer.train_step(state, xs[i], ys[i])
+            losses.append(float(m["loss"]))
+        return np.asarray(losses)
+
+    single = run(None)
+    sharded = run(make_mesh(axes={"data": 8}))
+    assert np.isfinite(single).all()
+    np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=2e-4)
+
+
 def test_train_models_harness(tmp_path):
     """The full train_models loop: artifacts (history.json, eval.csv,
     model_summary.txt, checkpoints) in the reference's run-dir layout."""
