@@ -1,0 +1,169 @@
+"""Context-budget sweep on a FROZEN GW run: mismatch quantiles vs eval-time
+context count.
+
+The mismatch tail is concentrated at low chirp mass (gw_tail_analysis.py):
+low-Mc systems put more in-band cycles on the same grid, so each phase cycle
+gets fewer observed points. This probes the other side of the
+resolution-vs-observation question: with the trained model FIXED, does
+giving eval more context points (the model is a set function — SetConv
+consumes any count) recover the tail? If yes, the tail is
+observation-budget-limited (a task-spec knob); if no, it is
+model-resolution-limited (an architecture lever).
+
+Usage:
+  python experiments/gw_eval_ctx.py [run_dir] --ctx 16,32,64,128,192 --n-test 1024
+Writes <run_dir>/ctx_sweep.json and prints one JSON line per budget.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+FLAGSHIP = "results/GW_time_cond_film_ctx64/ConvCNP/run_0"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("run_dir", nargs="?", default=FLAGSHIP)
+    ap.add_argument("--ctx", default="16,32,64,128,192")
+    ap.add_argument("--n-test", type=int, default=1024)
+    ap.add_argument("--n-points", type=int, default=256)
+    args = ap.parse_args()
+
+    import flax.serialization
+    import jax
+    import jax.numpy as jnp
+
+    from experiments.reproduce_gp import build_model
+    from npf_gwwaveform_tpu.data import (
+        CntxtTrgtSplitter,
+        GetRandomIndcs,
+        GWParameterSpace,
+        GWWaveformGenerator,
+        get_all_indcs,
+    )
+    from npf_gwwaveform_tpu.data.gw import mismatch
+    from npf_gwwaveform_tpu.losses import CNPFLoss
+    from npf_gwwaveform_tpu.training import Trainer, create_train_state, make_optimizer
+
+    with open(os.path.join(args.run_dir, "summary.json")) as f:
+        summary = json.load(f)
+    conditioned = bool(summary.get("conditioned"))
+    cnn_kernel = summary.get("cnn_kernel_size")
+    dilations = summary.get("cnn_dilations")
+    cnn_arch = summary.get("cnn_arch", "cnn")
+    if cnn_kernel or dilations or cnn_arch != "cnn":
+        from npf_gwwaveform_tpu.configs import gp_model_1d
+
+        model = gp_model_1d(
+            summary["model"],
+            cnn_kernel_size=cnn_kernel or 19,
+            cnn_dilations=tuple(dilations) if dilations else None,
+            cnn_arch=cnn_arch,
+        )
+    else:
+        model = build_model(summary["model"])
+    model = model.clone(
+        y_dim=1,
+        cond_dim=4 if conditioned else 0,
+        cond_mode=summary.get("cond_mode") or "film",
+        **(
+            {"density_induced": summary["density_induced"]}
+            if summary.get("density_induced")
+            else {}
+        ),
+    )
+
+    gen = GWWaveformGenerator(duration=1.0, sample_rate=1024.0)
+    space = GWParameterSpace()
+    n_points = args.n_points
+    stride = gen.n_time // n_points
+    x_grid = jnp.linspace(-1.0, 1.0, n_points)
+
+    def make_batch(key, n):
+        theta = space.sample(key, n)
+        _, h = gen.time_domain(theta)
+        h = h[..., -n_points * stride :: stride][..., :n_points]
+        x = jnp.broadcast_to(x_grid[None, :, None], (n, n_points, 1))
+        return x, h[..., None], theta
+
+    # restore once (splitter used only for state init shape)
+    init_splitter = CntxtTrgtSplitter(
+        contexts_getter=GetRandomIndcs(a=0.0, b=64), targets_getter=get_all_indcs
+    )
+    tx = make_optimizer(lr=1e-3, decay_lr=None)
+    trainer = Trainer(model, CNPFLoss(), tx, splitter=init_splitter)
+    key = jax.random.PRNGKey(0)
+    x0, y0, th0 = make_batch(key, 16)
+    ex = init_splitter(
+        key, x0, y0, condition=space.normalize(th0) if conditioned else None
+    )
+    state = create_train_state(model, tx, ex, seed=0)
+    with open(os.path.join(args.run_dir, "params.msgpack"), "rb") as f:
+        params = flax.serialization.from_bytes(jax.device_get(state.params), f.read())
+    state = state.replace(params=jax.device_put(params))
+    extra_path = os.path.join(args.run_dir, "extra_vars.msgpack")
+    if os.path.exists(extra_path):
+        with open(extra_path, "rb") as f:
+            extra = flax.serialization.from_bytes(
+                jax.device_get(state.extra_vars), f.read()
+            )
+        state = state.replace(extra_vars=jax.device_put(extra))
+
+    bs = 256
+    rows = []
+    for n_ctx in [int(c) for c in args.ctx.split(",")]:
+        splitter = CntxtTrgtSplitter(
+            # per-waveform independent draw in [0, n_ctx] mirrors the run's
+            # eval protocol (reproduce_gw.py eval_splitter, is_indep_n)
+            contexts_getter=GetRandomIndcs(a=0.0, b=n_ctx, is_indep_n=True),
+            targets_getter=get_all_indcs,
+        )
+
+        @jax.jit
+        def eval_batch(state, key):
+            kd, ks, kl = jax.random.split(key, 3)
+            x, y, theta = make_batch(kd, bs)
+            cond = space.normalize(theta) if conditioned else None
+            batch = splitter(ks, x, y, condition=cond)
+            out, _ = trainer._apply(
+                state.params, state.extra_vars, batch, kl, train=False
+            )
+            pred = jnp.mean(out.p_yCc.loc, axis=0)
+            return mismatch(pred[..., 0], y[..., 0]), theta
+
+        mms, mcs = [], []
+        for i in range(max(1, args.n_test // bs)):
+            kd = jax.random.fold_in(jax.random.PRNGKey(123), i)
+            mm, theta = eval_batch(state, kd)
+            mms.append(np.asarray(mm))
+            th = np.asarray(theta)
+            mcs.append((th[:, 0] * th[:, 1]) ** 0.6 / (th[:, 0] + th[:, 1]) ** 0.2)
+        mm = np.concatenate(mms)
+        mc = np.concatenate(mcs)
+        lo = mc <= np.percentile(mc, 33.3)
+        row = {
+            "n_context": n_ctx,
+            "p50": float(np.median(mm)),
+            "p90": float(np.percentile(mm, 90)),
+            "p99": float(np.percentile(mm, 99)),
+            "low_mc_tercile_p50": float(np.median(mm[lo])),
+            "low_mc_tercile_p90": float(np.percentile(mm[lo], 90)),
+            "frac_below_0.03": float((mm < 0.03).mean()),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    with open(os.path.join(args.run_dir, "ctx_sweep.json"), "w") as f:
+        json.dump(rows, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
