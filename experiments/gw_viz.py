@@ -178,7 +178,8 @@ def main():
     fig.suptitle(f"{tag} / {model_name} — ctx {n_context}", fontsize=11)
     fig.tight_layout()
     os.makedirs(args.out, exist_ok=True)
-    out_path = os.path.join(args.out, f"gw_recon_{tag}.png")
+    suffix = "" if args.n_context is None else f"_evalctx{n_context}"
+    out_path = os.path.join(args.out, f"gw_recon_{tag}{suffix}.png")
     fig.savefig(out_path, dpi=130)
     print(json.dumps({"figure": out_path, "mismatches": [float(v) for v in mm],
                       "chirp_masses": [float(v) for v in Mc]}))
