@@ -12,7 +12,9 @@ model-resolution-limited (an architecture lever).
 
 Usage:
   python experiments/gw_eval_ctx.py [run_dir] --ctx 16,32,64,128,192 --n-test 1024
-Writes <run_dir>/ctx_sweep.json and prints one JSON line per budget.
+  python experiments/gw_eval_ctx.py --plot run_dir [run_dir ...]
+Writes <run_dir>/ctx_sweep.json and prints one JSON line per budget; --plot
+overlays the saved sweeps into results/viz/gw_ctx_sweep.png.
 """
 
 from __future__ import annotations
@@ -29,13 +31,63 @@ import numpy as np
 FLAGSHIP = "results/GW_time_cond_film_ctx64/ConvCNP/run_0"
 
 
+PALETTE = ["#2a78d6", "#eb6834", "#1baf7a", "#eda100"]  # fixed categorical order
+
+
+def plot(run_dirs, out="results/viz/gw_ctx_sweep.png"):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, 2, figsize=(9.5, 3.6), sharex=True)
+    for (rd, color) in zip(run_dirs, PALETTE):
+        rows = json.load(open(os.path.join(rd, "ctx_sweep.json")))
+        label = os.path.basename(os.path.dirname(os.path.dirname(rd.rstrip("/"))))
+        label = label.replace("GW_time_cond_film_", "")
+        ctx = [r["n_context"] for r in rows]
+        for ax, key in zip(axes, ("p50", "p90")):
+            ax.plot(ctx, [r[key] for r in rows], color=color, lw=2, marker="o",
+                    ms=5, label=label)
+    for ax, (key, bar, barlabel) in zip(
+        axes,
+        [("p50", 0.03, "matched-filter bar (0.03)"), ("p90", 0.1, "tail target (0.1)")],
+    ):
+        ax.axhline(bar, color="#8a8a85", lw=1, ls="--")
+        ax.text(17, bar * 1.08, barlabel, fontsize=8, color="#6a6a66")
+        ax.set_yscale("log")
+        ax.set_xlabel("eval context budget (points of 256)")
+        ax.set_title(f"mismatch {key}", fontsize=10)
+        ax.grid(True, which="both", color="#ebebe6", lw=0.6)
+        ax.set_axisbelow(True)
+        for s in ("top", "right"):
+            ax.spines[s].set_visible(False)
+    axes[0].set_ylabel("mismatch")
+    axes[0].legend(fontsize=8, frameon=False, loc="lower left")
+    fig.suptitle(
+        "Frozen-checkpoint context sweeps: the fine grid absorbs observations, "
+        "the coarse one saturates",
+        fontsize=10,
+    )
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    fig.savefig(out, dpi=130)
+    print(json.dumps({"figure": out}))
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("run_dir", nargs="?", default=FLAGSHIP)
+    ap.add_argument("run_dir", nargs="*", default=[FLAGSHIP])
     ap.add_argument("--ctx", default="16,32,64,128,192")
     ap.add_argument("--n-test", type=int, default=1024)
     ap.add_argument("--n-points", type=int, default=256)
+    ap.add_argument("--plot", action="store_true",
+                    help="overlay saved ctx_sweep.json files into one figure")
     args = ap.parse_args()
+    if args.plot:
+        plot(args.run_dir)
+        return
+    args.run_dir = args.run_dir[0]
 
     import flax.serialization
     import jax
