@@ -201,3 +201,22 @@ def test_make_viz_smoke(tmp_path, monkeypatch):
     viz_run("RBF_Kernel", "CNP", out_dir=str(tmp_path))
     assert (tmp_path / "RBF_Kernel_CNP_c10.png").exists()
     assert (tmp_path / "RBF_Kernel_CNP.gif").exists()
+
+
+def test_gp_te_figures(tmp_path):
+    """experiments/gp_te.py (our stheno-free rebuild of the reference's
+    utils/visualize/gp_te.py translation-equivariance illustration) writes
+    all four figures; the GP draw and posterior must be finite."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from experiments.gp_te import make_figures
+
+    make_figures(str(tmp_path), n_grid=120)
+    for name in (
+        "original-context.png",
+        "shifted-context.png",
+        "original-predictive.png",
+        "shifted-predictive.png",
+    ):
+        assert (tmp_path / name).stat().st_size > 0
