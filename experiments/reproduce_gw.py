@@ -236,7 +236,10 @@ def main():
         return nll, pred, y
 
     nlls, mms, thetas = [], [], []
-    for i in range(args.n_test // 256):
+    # eval batches are a fixed 256 waveforms; at least one so smoke runs
+    # with --n-test < 256 still produce eval artifacts (production n_test
+    # is a multiple of 256 and is unaffected)
+    for i in range(max(1, args.n_test // 256)):
         kd = jax.random.fold_in(jax.random.PRNGKey(123), i)
         nll, pred, y = eval_batch(state, kd)
         nlls.append(np.asarray(nll))
