@@ -1,6 +1,9 @@
 from .mesh import (
     DATA_AXIS,
+    SEQ_AXIS,
     batch_sharding,
+    constrain_targets_seq,
+    has_seq_axis,
     make_mesh,
     replicated_sharding,
     shard_batch,
@@ -8,8 +11,11 @@ from .mesh import (
 
 __all__ = [
     "DATA_AXIS",
+    "SEQ_AXIS",
     "make_mesh",
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",
+    "constrain_targets_seq",
+    "has_seq_axis",
 ]

@@ -7,9 +7,16 @@ sharded along it, parameters replicated, and the gradient all-reduce emitted
 by XLA as a psum over ICI when the loss is averaged under `jit`.
 
 NPF models are small (R_DIM=128 => < 1M params), so data parallelism is the
-only profitable axis; the mesh is built 1-D by default but `make_mesh` takes
-an arbitrary axis dict so tensor/sequence axes can be added later without
-touching call sites.
+default axis. For LONG waveforms the time axis is additionally shardable
+(SURVEY.md §5.7: "the time axis should be a shardable dimension in the mesh
+layout for long waveforms"): build the mesh with a `seq` axis
+(`make_mesh(axes={"data": d, "seq": s})`) and the Trainer constrains the
+target-side arrays to P("data", "seq"). The grid->target SetConv decode and
+the decoder MLP are pointwise over targets, so GSPMD partitions them with
+zero communication and per-device target activations shrink by the seq
+factor; the only collective added is the psum over `seq` in the loss
+reduction. Context arrays and the induced grid stay replicated over `seq`
+(the grid is small; the context->grid encode is the Pallas kernel's job).
 """
 
 from __future__ import annotations
@@ -21,6 +28,10 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SEQ_AXIS = "seq"
+
+# target-side batch keys whose 2nd dim is the (padded) target/time axis
+_TARGET_KEYS = ("X_trgt", "Y_trgt", "mask_trgt")
 
 
 def make_mesh(
@@ -56,3 +67,25 @@ def shard_batch(batch, mesh: Mesh):
     sharded across the data axis."""
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def has_seq_axis(mesh: Optional[Mesh]) -> bool:
+    return mesh is not None and SEQ_AXIS in mesh.axis_names
+
+
+def constrain_targets_seq(batch: dict, mesh: Mesh) -> dict:
+    """Inside a jitted step: pin the split batch's target-side arrays to
+    P('data', 'seq') so XLA partitions the decode + loss over the mesh's
+    sequence axis (long-waveform regime). Context-side arrays keep their
+    propagated P('data') sharding. No-op for meshes without a `seq` axis."""
+    if not has_seq_axis(mesh):
+        return batch
+    out = dict(batch)
+    for k in _TARGET_KEYS:
+        v = out.get(k)
+        if v is not None:
+            spec = P(DATA_AXIS, SEQ_AXIS, *([None] * (v.ndim - 2)))
+            out[k] = jax.lax.with_sharding_constraint(
+                v, NamedSharding(mesh, spec)
+            )
+    return out

@@ -21,7 +21,12 @@ import jax.numpy as jnp
 import optax
 
 from ..losses import BaseLossNPF
-from ..parallel.mesh import batch_sharding, replicated_sharding
+from ..parallel.mesh import (
+    batch_sharding,
+    constrain_targets_seq,
+    has_seq_axis,
+    replicated_sharding,
+)
 from .state import TrainState
 
 
@@ -79,7 +84,12 @@ class Trainer:
     def _split(self, key, x, y):
         if self.splitter is None:
             raise ValueError("Trainer needs a splitter for raw (x, y) batches")
-        return self.splitter(key, x, y)
+        batch = self.splitter(key, x, y)
+        if has_seq_axis(self.mesh):
+            # long-waveform sequence parallelism: targets sharded over `seq`
+            # (parallel/mesh.py constrain_targets_seq docstring)
+            batch = constrain_targets_seq(batch, self.mesh)
+        return batch
 
     def _apply(self, params, extra_vars, batch, k_latent, train: bool):
         variables = {"params": params, **extra_vars}

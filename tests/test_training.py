@@ -276,3 +276,35 @@ def test_generated_train_steps():
     sample_fn = lambda k: sampler.sample(k, 16)
     state, losses = trainer.train_steps_generated(state, sample_fn, 20)
     assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_sequence_parallel_equivalence_convcnp():
+    """data x seq 2-D mesh: targets constrained to P('data','seq')
+    (SURVEY.md §5.7 — the time axis is a shardable mesh dimension for long
+    waveforms). The grid->target decode and the loss partition over `seq`
+    with a psum in the reduction; the loss trace must match 1-device to f32
+    reduction tolerance, else the constraint or the propagated collectives
+    are wrong."""
+    assert jax.device_count() >= 8
+    model = ConvCNP(y_dim=1, x_dim=1, r_dim=16, density_induced=8)
+    tx = make_optimizer(lr=1e-3, decay_lr=None)
+
+    xs = jax.random.uniform(
+        jax.random.PRNGKey(7), (6, 16, 24, 1), minval=-1, maxval=1
+    )
+    ys = jax.random.normal(jax.random.PRNGKey(8), (6, 16, 24, 1))
+
+    def run(mesh):
+        trainer = Trainer(model, CNPFLoss(), tx, splitter=_splitter(), mesh=mesh)
+        batch = _splitter()(jax.random.PRNGKey(0), xs[0], ys[0])
+        state = create_train_state(model, tx, batch, seed=0)
+        losses = []
+        for i in range(xs.shape[0]):
+            state, m = trainer.train_step(state, xs[i], ys[i])
+            losses.append(float(m["loss"]))
+        return np.asarray(losses)
+
+    single = run(None)
+    sharded = run(make_mesh(axes={"data": 4, "seq": 2}))
+    assert np.isfinite(single).all()
+    np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=2e-4)
