@@ -7,6 +7,7 @@ from .visualize_1d import (
     plot_prior_samples_1d,
 )
 from .visualize_imgs import (
+    plot_dataset_samples_imgs,
     plot_img_marginal_pred,
     plot_posterior_samples_imgs,
     plot_qualitative_with_kde,
@@ -22,6 +23,7 @@ __all__ = [
     "plot_posterior_samples_1d",
     "plot_losses",
     "gen_p_y_pred",
+    "plot_dataset_samples_imgs",
     "plot_img_marginal_pred",
     "plot_posterior_samples_imgs",
     "plot_qualitative_with_kde",

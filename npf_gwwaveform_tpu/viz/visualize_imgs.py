@@ -37,6 +37,33 @@ def points_to_grid(x, y, grid_shape, fill=0.0):
     return canvas
 
 
+def plot_dataset_samples_imgs(
+    dataset, n_plots=4, ax=None, pad_value=1.0, seed=123, title=None
+):
+    """Tile n random dataset images into a 2-wide grid (Datasets.ipynb's
+    image panels; ref visualize_imgs.py:37-52 with torchvision make_grid
+    replaced by a numpy tiler)."""
+    rng = np.random.default_rng(seed)
+    imgs = np.asarray(dataset.images)[rng.integers(0, len(dataset), n_plots)]
+    n, h, w, c = imgs.shape
+    ncol, pad = 2, 2
+    nrow = int(np.ceil(n / ncol))
+    grid = np.full(
+        (nrow * (h + pad) + pad, ncol * (w + pad) + pad, c), pad_value, np.float32
+    )
+    for i in range(n):
+        r, col = divmod(i, ncol)
+        top, left = pad + r * (h + pad), pad + col * (w + pad)
+        grid[top : top + h, left : left + w] = imgs[i]
+    if ax is None:
+        _, ax = plt.subplots(figsize=(5, 5))
+    ax.imshow(grid.squeeze(-1) if c == 1 else grid, cmap="gray" if c == 1 else None)
+    if title is not None:
+        ax.set_title(title)
+    ax.axis("off")
+    return ax
+
+
 def sarle(out, axis=0):
     """Sarle's bimodality coefficient (ref visualize_imgs.py:850-856,
     reproduced exactly including its n = out.shape[1] convention): lower

@@ -220,3 +220,17 @@ def test_gp_te_figures(tmp_path):
         "shifted-predictive.png",
     ):
         assert (tmp_path / name).stat().st_size > 0
+
+
+def test_plot_dataset_samples_imgs(tmp_path):
+    """Datasets.ipynb image panels (ref visualize_imgs.py:37-52): tile random
+    dataset samples into a grid; must handle 1-channel and multi-row tiling."""
+    from npf_gwwaveform_tpu.data.images import DigitsDataset
+    from npf_gwwaveform_tpu.viz import plot_dataset_samples_imgs
+    import matplotlib.pyplot as plt
+
+    ds = DigitsDataset(train=True, upscale=2)
+    ax = plot_dataset_samples_imgs(ds, n_plots=6, title="digits")
+    ax.figure.savefig(tmp_path / "ds.png")
+    plt.close(ax.figure)
+    assert (tmp_path / "ds.png").stat().st_size > 0
