@@ -74,6 +74,12 @@ def main():
         "full-resolution skips keep local phase detail — the other "
         "multi-scale lever for the GW low-Mc tail)",
     )
+    ap.add_argument(
+        "--remat", action="store_true",
+        help="rematerialize grid-CNN blocks on the backward pass "
+        "(jax.checkpoint) — cuts peak HBM ~n_blocks x block activations in "
+        "long-waveform/dense-grid configs; numerics unchanged",
+    )
     ap.add_argument("--out", default="results/")
     args = ap.parse_args()
 
@@ -102,7 +108,7 @@ def main():
     dilations = (
         tuple(int(d) for d in args.cnn_dilations.split(",")) if args.cnn_dilations else None
     )
-    if args.cnn_kernel or dilations or args.cnn_arch != "cnn":
+    if args.cnn_kernel or dilations or args.cnn_arch != "cnn" or args.remat:
         from npf_gwwaveform_tpu.configs import gp_model_1d
 
         model = gp_model_1d(
@@ -111,6 +117,7 @@ def main():
             cnn_kernel_size=args.cnn_kernel or 19,
             cnn_dilations=dilations,
             cnn_arch=args.cnn_arch,
+            cnn_remat=args.remat,
         )
     else:
         model = build_model(args.model, dtype=dtype)

@@ -38,7 +38,9 @@ def _xy_encoder(hidden_size, dtype=None):
     )
 
 
-def _cnn_factory(n_blocks, dtype=None, kernel_size=19, norm_eps=1e-3, dilations=None):
+def _cnn_factory(
+    n_blocks, dtype=None, kernel_size=19, norm_eps=1e-3, dilations=None, remat=False
+):
     # ConvCNP.ipynb CNN_KWARGS: ResConvBlock, n_conv_layers=2, k=19, BatchNorm
     # (the Matern_Kernel pretrained ConvCNP checkpoint was trained with k=15).
     # norm_eps=1e-3 is our training-stability default; the reference's
@@ -53,6 +55,7 @@ def _cnn_factory(n_blocks, dtype=None, kernel_size=19, norm_eps=1e-3, dilations=
             norm="batch",
             dilations=dilations,
             block_kwargs={"n_conv_layers": 2, "norm_eps": norm_eps},
+            remat=remat,
             dtype=dtype,
             name=name,
         )
@@ -60,7 +63,7 @@ def _cnn_factory(n_blocks, dtype=None, kernel_size=19, norm_eps=1e-3, dilations=
     return make
 
 
-def _unet_factory(n_blocks, dtype=None, kernel_size=19, norm_eps=1e-3):
+def _unet_factory(n_blocks, dtype=None, kernel_size=19, norm_eps=1e-3, remat=False):
     # Multi-scale induced-grid CNN: UnetCNN (reference cnn.py:383-516) in
     # place of the flat CNN stack. An extension over the reference's 1-D
     # notebook configs (which use the flat CNN) targeting the GW low-Mc
@@ -76,6 +79,7 @@ def _unet_factory(n_blocks, dtype=None, kernel_size=19, norm_eps=1e-3):
             norm="batch",
             max_nchannels=2 * r_dim,
             block_kwargs={"n_conv_layers": 2, "norm_eps": norm_eps},
+            remat=remat,
             dtype=dtype,
             name=name,
         )
@@ -91,8 +95,13 @@ def gp_model_1d(
     cnn_norm_eps: float = 1e-3,
     cnn_dilations: Optional[tuple] = None,
     cnn_arch: str = "cnn",
+    cnn_remat: bool = False,
 ):
-    """The exact 1-D model the reference's notebook benchmarks use."""
+    """The exact 1-D model the reference's notebook benchmarks use.
+
+    cnn_remat rematerializes each grid-CNN block on the backward pass
+    (jax.checkpoint) — the HBM lever for long-waveform / dense-grid
+    configs; numerics unchanged (ops/cnn.py CNN.remat)."""
     common = dict(y_dim=1, x_dim=1, r_dim=r_dim, dtype=dtype)
     if name == "CNP":
         return CNP(
@@ -124,11 +133,14 @@ def gp_model_1d(
         )
     if cnn_arch == "unet":
         def cnn_factory(n_blocks):
-            return _unet_factory(n_blocks, dtype, cnn_kernel_size, cnn_norm_eps)
+            return _unet_factory(
+                n_blocks, dtype, cnn_kernel_size, cnn_norm_eps, remat=cnn_remat
+            )
     else:
         def cnn_factory(n_blocks):
             return _cnn_factory(
-                n_blocks, dtype, cnn_kernel_size, cnn_norm_eps, cnn_dilations
+                n_blocks, dtype, cnn_kernel_size, cnn_norm_eps, cnn_dilations,
+                remat=cnn_remat,
             )
     if name == "ConvCNP":
         return ConvCNP(

@@ -274,6 +274,11 @@ class CNN(nn.Module):
     dilations: Optional[Sequence[int]] = None
     ConvBlockModule: Callable[..., nn.Module] = ResConvBlock
     block_kwargs: Optional[dict] = None
+    # rematerialize each block on the backward pass (jax.checkpoint): block
+    # activations are recomputed instead of stored, cutting peak HBM by
+    # ~n_blocks x activation size in the long-waveform / dense-grid regime
+    # at the cost of one extra forward per block. Numerics are unchanged.
+    remat: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -283,9 +288,14 @@ class CNN(nn.Module):
             raise ValueError(
                 f"dilations {self.dilations} must have n_blocks={self.n_blocks} entries"
             )
+        Block = self.ConvBlockModule
+        if self.remat:
+            # `train` (arg 2 counting self) must stay static under the
+            # lifted checkpoint — it selects the BatchNorm branch
+            Block = nn.remat(Block, static_argnums=(2,))
         for i, out_chan in enumerate(chans[1:]):
             dil = {} if self.dilations is None else {"dilation": int(self.dilations[i])}
-            x = self.ConvBlockModule(
+            x = Block(
                 out_chan,
                 kernel_size=self.kernel_size,
                 norm=self.norm,
@@ -294,7 +304,7 @@ class CNN(nn.Module):
                 name=f"block_{i}",
                 **dil,
                 **(self.block_kwargs or {}),
-            )(x, train=train)
+            )(x, train)
         return x
 
 
@@ -312,6 +322,7 @@ class UnetCNN(nn.Module):
     is_force_same_bottleneck: bool = False
     ConvBlockModule: Callable[..., nn.Module] = ResConvBlock
     block_kwargs: Optional[dict] = None
+    remat: bool = False  # see CNN.remat
     dtype: Optional[jnp.dtype] = None
 
     def _in_out_channels(self):
@@ -332,15 +343,19 @@ class UnetCNN(nn.Module):
         n_down = self.n_blocks // 2
         n_spatial = x.ndim - 2
 
+        Block = self.ConvBlockModule
+        if self.remat:
+            Block = nn.remat(Block, static_argnums=(2,))
+
         def block(i, out_chan, x):
-            return self.ConvBlockModule(
+            return Block(
                 out_chan,
                 kernel_size=self.kernel_size,
                 norm=self.norm,
                 dtype=self.dtype,
                 name=f"block_{i}",
                 **(self.block_kwargs or {}),
-            )(x, train=train)
+            )(x, train)
 
         residuals = []
         for i in range(n_down):

@@ -190,3 +190,50 @@ def test_gp_model_1d_cnn_arch_unet_reaches_model():
         train=False,
     )
     assert np.isfinite(np.asarray(out.p_yCc.loc, dtype=np.float32)).all()
+
+
+def test_gp_model_1d_cnn_remat_numerics_unchanged():
+    """gp_model_1d(cnn_remat=True) (jax.checkpoint on each grid-CNN block)
+    must share the exact param tree with the plain model and produce
+    identical forward outputs AND gradients — remat is a memory lever, not
+    an architecture change. The jaxpr must actually contain the remat call
+    (a silent no-op would pass the numeric check)."""
+    from npf_gwwaveform_tpu.configs import gp_model_1d
+    from npf_gwwaveform_tpu.losses import CNPFLoss
+
+    key = jax.random.PRNGKey(0)
+    rng = np.random.RandomState(0)
+    x = np.sort(rng.uniform(-1, 1, (2, 16, 1)).astype(np.float32), axis=1)
+    y = rng.randn(2, 16, 1).astype(np.float32)
+    splitter = CntxtTrgtSplitter(
+        contexts_getter=GetRandomIndcs(a=4.0, b=8), targets_getter=get_all_indcs
+    )
+    batch = splitter(key, x, y)
+    init_args = (batch["X_cntxt"], batch["Y_cntxt"], batch["X_trgt"])
+    init_kwargs = dict(mask_cntxt=batch["mask_cntxt"], mask_trgt=batch["mask_trgt"])
+
+    base = gp_model_1d("ConvCNP", cnn_kernel_size=5)
+    remat = gp_model_1d("ConvCNP", cnn_kernel_size=5, cnn_remat=True)
+    variables = base.init(key, *init_args, **init_kwargs)
+    v2 = remat.init(key, *init_args, **init_kwargs)
+    assert jax.tree_util.tree_structure(variables) == jax.tree_util.tree_structure(v2)
+
+    criterion = CNPFLoss()
+
+    def loss_fn(model):
+        def f(params):
+            out, _ = model.apply(
+                {**variables, "params": params}, *init_args,
+                **init_kwargs, train=True, mutable=["batch_stats"],
+            )
+            return criterion(out, batch["Y_trgt"], batch["mask_trgt"], train=True)
+        return f
+
+    l0, g0 = jax.value_and_grad(loss_fn(base))(variables["params"])
+    l1, g1 = jax.value_and_grad(loss_fn(remat))(variables["params"])
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    # grads agree to f32 reassociation noise (recompute reorders reductions;
+    # measured max-abs ~1e-4 on O(1-10) grads)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3, atol=3e-4)
+    assert "remat" in str(jax.make_jaxpr(loss_fn(remat))(variables["params"]))
