@@ -56,6 +56,7 @@ def measure(
     n_context=64,
     duration=1.0,
     density_induced=64,
+    remat=False,
 ):
     """Train-throughput measurement of the flagship config. Returns a dict
     with waveforms/sec/chip, per-step FLOPs (XLA cost analysis of ONE
@@ -82,6 +83,7 @@ def measure(
         density_induced=density_induced,
         cnn_n_blocks=5,
         cnn_kernel_size=19,
+        cnn_remat=remat,
         dtype=jnp.bfloat16,
         use_pallas_setconv=use_pallas,
     )
@@ -147,6 +149,7 @@ def measure(
         "n_points": n_points,
         "density_induced": density_induced,
         "use_pallas_setconv": use_pallas,
+        **({"remat": True} if remat else {}),
         "waveforms_per_sec_per_chip": round(wf_per_sec, 2),
         "flops_per_step": flops_step,
         "tflops_per_sec": round(flops_per_sec / 1e12, 2),
@@ -240,6 +243,21 @@ def main():
                 detail["long_context"].append(r)
                 print(json.dumps(r), flush=True)
                 flush()
+        # remat A/B at the largest long-context shape (XLA SetConv path):
+        # trades one extra CNN forward for ~n_blocks x lower activation HBM
+        r = safe_measure(
+            batch_size=16,
+            n_points=2048,
+            n_context=1024,
+            duration=2.0,
+            use_pallas=False,
+            density_induced=2048,
+            remat=True,
+        )
+        r.setdefault("density_induced", 2048)
+        detail["long_context"].append(r)
+        print(json.dumps(r), flush=True)
+        flush()
         return
 
     r = measure(batch_size=args.batch, n_inner=args.inner)

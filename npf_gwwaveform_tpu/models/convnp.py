@@ -51,6 +51,7 @@ class ConvCNP(NeuralProcessFamily):
     cnn_n_blocks: int = 3
     cnn_kernel_size: int = 11
     cnn_norm: Optional[str] = None
+    cnn_remat: bool = False  # jax.checkpoint per grid-CNN block (HBM lever)
     use_pallas_setconv: bool = False
     x_transf_dim: Optional[int] = None  # identity x-encoder keeps x_dim
 
@@ -77,6 +78,7 @@ class ConvCNP(NeuralProcessFamily):
             kernel_size=self.cnn_kernel_size,
             norm=self.cnn_norm,
             ConvBlockModule=ResConvBlock,
+            remat=self.cnn_remat,
             dtype=self.dtype,
             name=name,
         )

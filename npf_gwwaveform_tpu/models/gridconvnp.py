@@ -51,6 +51,7 @@ class GridConvCNP(ConvCNP):
             norm=self.cnn_norm,
             padding=self.conv_padding,
             ConvBlockModule=ResConvBlock,
+            remat=self.cnn_remat,
             dtype=self.dtype,
             name=name,
         )
