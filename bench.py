@@ -272,7 +272,7 @@ def main():
     print(json.dumps(line))
 
 
-def _wait_for_chip(max_attempts=6, sleep_s=60):
+def _wait_for_chip(max_attempts=12, sleep_s=180):
     """Retry the TPU claim before benchmarking. The axon tunnel's claim can
     be transiently wedged (observed: UNAVAILABLE for >1h after a killed
     run); the driver runs this script once at round end, so a cold failure
@@ -297,6 +297,14 @@ def _wait_for_chip(max_attempts=6, sleep_s=60):
     if attempt + 1 >= max_attempts:
         sys.stderr.write("bench: TPU claim unavailable after retries\n")
         sys.stderr.write(err.decode(errors="replace")[-2000:] + "\n")
+        # machine-readable record of the outage (no fabricated numbers):
+        print(json.dumps({
+            "metric": "gw_convcnp_train_throughput",
+            "value": None,
+            "unit": "waveforms/sec/chip",
+            "error": "TPU claim unavailable (tunnel outage); last measured "
+                     "run in BENCH_DETAIL.json",
+        }))
         sys.exit(1)
     sys.stderr.write(
         f"bench: TPU claim unavailable (attempt {attempt + 1}/{max_attempts}), "
