@@ -93,6 +93,13 @@ def main():
         "z_dim=128 architecture the reference's checked-in ablation "
         "checkpoints were actually trained with",
     )
+    ap.add_argument(
+        "--loss", default="default", choices=("default", "sumo"),
+        help="objective override: 'sumo' trains with the SUMO Russian-"
+        "roulette unbiased log-marginal estimator (ref losses.py:207-276) "
+        "on the NPML model config (prior-sampled z, n_z > m=5); artifact "
+        "dir {model}_SUMO. Latent models only",
+    )
     ap.add_argument("--run", type=int, default=0,
                     help="run index (artifact dir run_{N}; reference keeps run_0)")
     args = ap.parse_args()
@@ -140,6 +147,19 @@ def main():
         )
         criterion = ELBOLossLNPF() if is_elbo else NLLLossLNPF()
         run_name = variant_name(args.model, is_elbo, flags["LatLB"], flags["SigLB"])
+    elif args.loss == "sumo":
+        # SUMO needs n_z > m=5 z-draws; the NPML variant config supplies
+        # them (n_z_train = 32/8/16 for LNP/AttnLNP/ConvLNP) with the
+        # headline scale transforms (LatLB/SigLB True)
+        from npf_gwwaveform_tpu.configs import gp_model_variant
+        from npf_gwwaveform_tpu.losses import SUMOLossLNPF
+
+        model = gp_model_variant(
+            args.model, is_elbo=False, is_lat_lb=True, is_sig_lb=True,
+            dtype=dtype, cnn_norm_eps=args.norm_eps,
+        )
+        criterion = SUMOLossLNPF()
+        run_name = f"{args.model}_SUMO"
     else:
         model = build_model(args.model, dtype=dtype, norm_eps=args.norm_eps)
         criterion = criterion_for(args.model)
@@ -343,6 +363,8 @@ def main():
     }
     if args.ablation:
         summary["ablation_arch"] = args.ablation_arch
+    if args.loss != "default":
+        summary["loss"] = args.loss
     with open(os.path.join(run_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
