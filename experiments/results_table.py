@@ -84,7 +84,10 @@ def print_ablation(markdown=False):
     """Objective-ablation rows (Losses.ipynb ELBO x LatLB x SigLB grid).
     recorded = the reference's checked-in ablation artifacts
     (/root/reference/results/models/{kernel}/{variant}/run_0/eval.csv)."""
-    runs = sorted(glob.glob("results/*/*_ELBO*/run_*/summary.json"))
+    runs = sorted(
+        glob.glob("results/*/*_ELBO*/run_*/summary.json")
+        + glob.glob("results/*/*_SUMO/run_*/summary.json")
+    )
     if not runs:
         return
     bars = load_bars()

@@ -71,6 +71,29 @@ def test_plot_qualitative_with_kde_compare(key):
     assert fig is not None
 
 
+def test_plot_qualitative_with_kde_compare_single_percentile(key):
+    """Regression: compare mode with ONE percentile used to crash on axes
+    indexing (sub.subplots(3, 1) returned a (3,)-shaped array that
+    np.atleast_2d turned into (1, 3))."""
+    model = GridConvCNP(
+        y_dim=1, x_dim=1, r_dim=8, cnn_n_blocks=2, cnn_kernel_size=3,
+        conv_kernel_size=3,
+    )
+    imgs = jax.random.uniform(key, (20, 8, 8, 1))
+    v = model.init(
+        {"params": key, "latent": key},
+        jnp.ones((1, 8, 8, 1)), imgs[:1], jnp.ones((1, 8, 8, 1)),
+    )
+    rng = np.random.default_rng(0)
+    fig = plot_qualitative_with_kde(
+        model, v, imgs, rng.normal(size=20), percentiles=(50,),
+        model_compare=model, variables_compare=v,
+        lls_compare=rng.normal(size=20) + 1.0,
+        name="A", name_compare="B",
+    )
+    assert fig is not None
+
+
 def test_sarle_picks_bimodal_density_before_unimodal():
     """Sarle coefficient as the reference applies it (visualize_imgs.py:
     850-856, :169-183): computed on DENSITY CURVES over the intensity grid,
