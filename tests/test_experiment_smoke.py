@@ -1,0 +1,97 @@
+"""Smoke tests for the L5 experiment entry points (SURVEY.md §1: the
+reference's 'CLI' is its reproducibility notebooks; ours is
+experiments/*.py — these tests keep those scripts runnable end-to-end).
+
+Each script is exercised the way a user would run it, in a subprocess on
+CPU with tiny budgets, asserting the artifact contract (the reference's
+results/{data}/{model}/run_{i} layout, utils/train.py:194,315-329) holds.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ENV = {
+    **os.environ,
+    "JAX_PLATFORMS": "cpu",
+    "PALLAS_AXON_POOL_IPS": "",
+    # single CPU device is enough and compiles faster than the 8-device
+    # mesh the in-process test config forces
+    "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+}
+
+
+def run(args, timeout=600):
+    r = subprocess.run(
+        [sys.executable] + args,
+        cwd=REPO,
+        env=ENV,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+    assert r.returncode == 0, f"{' '.join(args)}\nSTDOUT:{r.stdout[-2000:]}\nSTDERR:{r.stderr[-2000:]}"
+    return r
+
+
+@pytest.fixture(scope="module")
+def gw_smoke_run(tmp_path_factory):
+    """One tiny reproduce_gw.py run shared by the chained analysis tests."""
+    out = tmp_path_factory.mktemp("gw_smoke")
+    run([
+        "experiments/reproduce_gw.py", "--model", "CNP", "--steps", "50",
+        "--batch", "8", "--n-test", "64", "--out", str(out),
+    ])
+    run_dir = out / "GW_time_ctx64" / "CNP" / "run_0"
+    assert run_dir.is_dir(), f"missing run dir under {out}"
+    return run_dir
+
+
+def test_reproduce_gw_artifact_contract(gw_smoke_run):
+    summary = json.loads((gw_smoke_run / "summary.json").read_text())
+    # the north-star metrics must be present and finite
+    for key in ("test_ll_per_wf", "mismatch_median", "mismatch_p90",
+                "train_wf_per_sec"):
+        assert key in summary and np.isfinite(summary[key]), key
+    lls = np.loadtxt(gw_smoke_run / "eval.csv", delimiter=",")
+    assert lls.shape == (256,) and np.isfinite(lls).all()
+    mt = np.loadtxt(gw_smoke_run / "mismatch_theta.csv", delimiter=",",
+                    skiprows=1)
+    assert mt.shape == (256, 5)  # mismatch + (m1, m2, chi1, chi2)
+    assert (gw_smoke_run / "params.msgpack").stat().st_size > 0
+    assert (gw_smoke_run / "model_summary.txt").stat().st_size > 0
+
+
+def test_gw_eval_ctx_on_frozen_run(gw_smoke_run):
+    run([
+        "experiments/gw_eval_ctx.py", str(gw_smoke_run),
+        "--ctx", "16,64", "--n-test", "64",
+    ])
+    rows = json.loads((gw_smoke_run / "ctx_sweep.json").read_text())
+    assert [r["n_context"] for r in rows] == [16, 64]
+    for r in rows:
+        assert 0.0 <= r["p50"] <= 1.0 and r["p50"] <= r["p90"] <= 1.0
+
+
+def test_gw_tail_analysis(gw_smoke_run):
+    r = run(["experiments/gw_tail_analysis.py", str(gw_smoke_run)])
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["n"] == 256
+    assert out["p50"] <= out["p90"] <= out["p99"]
+    assert "chirp_mass_tail_median" in out
+
+
+def test_results_table_full_grid():
+    """The checked-in results tree must regenerate the full 6x6 grid."""
+    r = run(["experiments/results_table.py", "--markdown"], timeout=120)
+    rows = [l for l in r.stdout.splitlines() if l.startswith("|")]
+    cells = [l for l in rows if l.split("|")[1].strip() in (
+        "RBF", "Periodic", "Noisy_Matern", "Matern", "Variable_Matern",
+        "All_Kernels")]
+    assert len(cells) == 36, f"expected 36 grid cells, got {len(cells)}"
