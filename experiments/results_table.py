@@ -49,6 +49,19 @@ def load_bars(path="results/ported_bars.jsonl"):
     return bars
 
 
+def load_bar_sems(path="results/ported_bars.jsonl"):
+    """Standard error of each ported-bar mean (from its per-function std)."""
+    sems = {}
+    if os.path.exists(path):
+        for line in open(path):
+            r = json.loads(line)
+            if "ported_pretrained_std" in r and r.get("n_test"):
+                sems[(r["kernel"], r["model"])] = (
+                    r["ported_pretrained_std"] / r["n_test"] ** 0.5
+                )
+    return sems
+
+
 def load_ours(kernel, model):
     p = f"results/{kernel}/{model}/run_0/summary.json"
     if not os.path.exists(p):
@@ -162,6 +175,7 @@ def main():
         return
 
     bars = load_bars()
+    bar_sems = load_bar_sems()
     rows = []
     for k in KERNELS:
         for m in MODELS:
@@ -177,7 +191,20 @@ def main():
                 note = f"{ep}ep" + ("" if proto == "indep_n" else f",{proto}")
             beats_bar = ours is not None and bar is not None and ours >= bar
             beats_rec = ours is not None and rec is not None and ours >= rec
-            rows.append((k, m, rec, bar, ours, note, beats_rec, beats_bar))
+            # statistical tie with the bar: |ours - bar| within the 95% CI
+            # of the DIFFERENCE of the two eval means (SEMs from the
+            # per-function stds; the two test sets are independent draws)
+            tie = False
+            if ours is not None and bar is not None and not beats_bar and meta:
+                sem_o = (
+                    meta.get("std_test_ll", 0.0)
+                    / max(1, meta.get("n_test", 1)) ** 0.5
+                )
+                sem_b = bar_sems.get((k, m), 0.0)
+                tie = (bar - ours) <= 1.96 * (sem_o**2 + sem_b**2) ** 0.5
+            if tie:
+                note += (", ~bar" if note else "~bar")
+            rows.append((k, m, rec, bar, ours, note, beats_rec, beats_bar, tie))
 
     def fmt(v):
         return f"{v:9.2f}" if v is not None else "        —"
@@ -185,7 +212,7 @@ def main():
     if args.markdown:
         print("| Kernel | Model | Recorded | Ported bar | Ours | Notes |")
         print("|---|---|---|---|---|---|")
-        for k, m, rec, bar, ours, note, br, bb in rows:
+        for k, m, rec, bar, ours, note, br, bb, tie in rows:
             bold = ours is not None and (bb or (bar is None and br))
             o = "—" if ours is None else (f"**{ours:.2f}**" if bold else f"{ours:.2f}")
             r = "—" if rec is None else f"{rec:.2f}"
@@ -193,18 +220,20 @@ def main():
             print(f"| {k.replace('_Kernel', '') if k != 'All_Kernels' else 'All_Kernels'} | {m} | {r} | {b} | {o} | {note} |")
     else:
         print(f"{'kernel':24s} {'model':8s} {'recorded':>9s} {'bar':>9s} {'ours':>9s}  notes")
-        n_beat_bar = n_with_bar = n_beat_rec = n_with_rec = 0
-        for k, m, rec, bar, ours, note, br, bb in rows:
+        n_beat_bar = n_with_bar = n_beat_rec = n_with_rec = n_tie = 0
+        for k, m, rec, bar, ours, note, br, bb, tie in rows:
             if ours is not None and bar is not None:
                 n_with_bar += 1
                 n_beat_bar += bb
+                n_tie += tie
             if ours is not None and rec is not None:
                 n_with_rec += 1
                 n_beat_rec += br
-            star = " *" if bb else ""
+            star = " *" if bb else (" ~" if tie else "")
             print(f"{k:24s} {m:8s} {fmt(rec)} {fmt(bar)} {fmt(ours)}  {note}{star}")
         print(
-            f"\nours >= bar: {n_beat_bar}/{n_with_bar}   "
+            f"\nours >= bar: {n_beat_bar}/{n_with_bar} "
+            f"(+{n_tie} within the 95% CI of the difference)   "
             f"ours >= recorded: {n_beat_rec}/{n_with_rec}"
         )
         print_ablation()
