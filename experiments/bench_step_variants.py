@@ -74,6 +74,39 @@ def mask_sort_threshold(key, B, N, a, b):
     return scores < thresh[:, None]
 
 
+def mask_topk_threshold(key, B, N, a, b):
+    """No full sort at all: top_k at the STATIC max count b (the count draw
+    n <= b), threshold on the n-th largest score. top_k is O(N*b) on the
+    VPU vs the bitonic O(N log^2 N) full sort — a win whenever b << N
+    (flagship: b=64 of N=256; long-context: b=64 of 2048). Same
+    distribution as the incumbent (iid uniform scores => any exact-n
+    subset is uniform)."""
+    kn, kp = jax.random.split(key)
+    n = jax.random.randint(kn, (), a, b + 1)
+    scores = jax.random.uniform(kp, (B, N))
+    top, _ = jax.lax.top_k(scores, b)  # [B, b] descending
+    # index 0 -> +inf so n=0 selects nothing
+    padded = jnp.concatenate([jnp.full((B, 1), jnp.inf), top], axis=1)
+    thresh = padded[:, n]
+    return scores >= thresh[:, None]
+
+
+def mask_topk_scatter(key, B, N, a, b):
+    """BIT-IDENTICAL to the incumbent double argsort, without the full
+    sorts: top_k of the negated scores yields the indices of the b smallest
+    scores in ascending order with the same lower-index-first tie-breaking
+    as the stable argsort; scatter True into the first n of them. (The
+    threshold variants above lose exact-count selection when f32 score
+    ties straddle the count boundary; this one cannot.)"""
+    kn, kp = jax.random.split(key)
+    n = jax.random.randint(kn, (), a, b + 1)
+    scores = jax.random.uniform(kp, (B, N))
+    _, idx = jax.lax.top_k(-scores, b)  # [B, b] indices of b smallest
+    sel = jnp.broadcast_to(jnp.arange(b)[None, :] < n, (B, b))
+    rows = jnp.arange(B)[:, None]
+    return jnp.zeros((B, N), bool).at[rows, idx].set(sel)
+
+
 # ------------------------------------------------------------ fused GW step
 
 
@@ -150,8 +183,16 @@ def main():
             ("double_argsort", mask_double_argsort),
             ("scatter_iota", mask_scatter_iota),
             ("sort_threshold", mask_sort_threshold),
+            ("topk_threshold", mask_topk_threshold),
+            ("topk_scatter", mask_topk_scatter),
         ):
             f = jax.jit(lambda k, fn=fn, B=B, N=N: fn(k, B, N, 0, 64))
+            # correctness gate: the selected count must equal the drawn n
+            # (same key => same n across variants; double_argsort is the
+            # incumbent ground truth)
+            m_ref = mask_double_argsort(jax.random.PRNGKey(9), B, N, 0, 64)
+            m_new = fn(jax.random.PRNGKey(9), B, N, 0, 64)
+            assert int(m_new.sum()) == int(m_ref.sum()), (name, B, N)
             dt = time_fn(f, jax.random.PRNGKey(0), n_rep=200)
             row = {"bench": "mask", "variant": name, "B": B, "N": N,
                    "us": round(dt * 1e6, 1)}

@@ -180,3 +180,45 @@ def test_periodic_harmonic_sampler_covariance(key):
     emp = np.cov(np.asarray(jnp.stack(ys)).T)
     ana = np.asarray(expsinesquared_cov(xg, 0.5, 0.5))
     assert np.abs(emp - ana).max() < 0.12  # MC noise at 3000 draws
+
+
+def test_random_indcs_topk_path_bit_identical(key):
+    """The static-count top_k mask construction (the fast path inside
+    GetRandomIndcs.__call__) must be BIT-identical to the stable
+    double-argsort ranks construction it replaced, across every config
+    combo that reaches it — same keys, same masks, so all seeded
+    runs/evals reproduce exactly."""
+
+    def reference_mask(g, k, batch_size, n_points):
+        # the pre-optimization construction, verbatim
+        k_n, k_u, k_choice, k_perm = jax.random.split(k, 4)
+        def to_count(v):
+            c = int(v * n_points) if 0 <= v < 1 else int(v)
+            return max(0, min(c, n_points))
+        a, b = to_count(g.a), to_count(g.b)
+        a = min(a, b)
+        n_shape = (batch_size, 1) if g.is_indep_n else ()
+        n = jax.random.randint(k_n, n_shape, a, b + 1)
+        if g.is_ensure_one:
+            n = jnp.maximum(n, 1)
+        shape = (1, n_points) if g.is_batch_share else (batch_size, n_points)
+        scores = jax.random.uniform(k_perm, shape)
+        ranks = jnp.argsort(jnp.argsort(scores, axis=-1), axis=-1)
+        return jnp.broadcast_to(ranks < n, (batch_size, n_points))
+
+    configs = [
+        dict(a=0, b=50),                       # flagship GP splitter
+        dict(a=0, b=64, is_indep_n=True),       # eval protocol
+        dict(a=0.05, b=0.3),                    # ratio counts
+        dict(a=0, b=30, is_batch_share=True),
+        dict(a=0, b=0, is_ensure_one=True),     # ub forced to 1
+        dict(a=0, b=0),                         # ub == 0 -> empty mask
+        dict(a=4, b=4),                         # fixed count
+    ]
+    for cfg in configs:
+        g = GetRandomIndcs(**cfg)
+        for s in range(25):
+            k = jax.random.fold_in(key, s)
+            got = g(k, 16, 128)
+            want = reference_mask(g, k, 16, 128)
+            assert bool((got == want).all()), cfg
