@@ -57,6 +57,7 @@ def measure(
     duration=1.0,
     density_induced=64,
     remat=False,
+    banded=False,
 ):
     """Train-throughput measurement of the flagship config. Returns a dict
     with waveforms/sec/chip, per-step FLOPs (XLA cost analysis of ONE
@@ -84,6 +85,7 @@ def measure(
         cnn_n_blocks=5,
         cnn_kernel_size=19,
         cnn_remat=remat,
+        cnn_banded=banded,
         dtype=jnp.bfloat16,
         use_pallas_setconv=use_pallas,
     )
@@ -150,6 +152,7 @@ def measure(
         "density_induced": density_induced,
         "use_pallas_setconv": use_pallas,
         **({"remat": True} if remat else {}),
+        **({"banded": True} if banded else {}),
         "waveforms_per_sec_per_chip": round(wf_per_sec, 2),
         "flops_per_step": flops_step,
         "tflops_per_sec": round(flops_per_sec / 1e12, 2),

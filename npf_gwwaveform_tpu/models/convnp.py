@@ -52,6 +52,10 @@ class ConvCNP(NeuralProcessFamily):
     cnn_kernel_size: int = 11
     cnn_norm: Optional[str] = None
     cnn_remat: bool = False  # jax.checkpoint per grid-CNN block (HBM lever)
+    # MXU banded-matmul lowering of the grid CNN's depthwise convs (same
+    # params/math as the grouped convs — ops/cnn.py _BandedDepthwise);
+    # throughput lever for moderate induced grids
+    cnn_banded: bool = False
     use_pallas_setconv: bool = False
     x_transf_dim: Optional[int] = None  # identity x-encoder keeps x_dim
 
@@ -79,6 +83,7 @@ class ConvCNP(NeuralProcessFamily):
             norm=self.cnn_norm,
             ConvBlockModule=ResConvBlock,
             remat=self.cnn_remat,
+            banded=self.cnn_banded,
             dtype=self.dtype,
             name=name,
         )

@@ -41,6 +41,68 @@ def _norm_layer(norm: str, name: str, eps: float = 1e-3):
     raise ValueError(f"Unknown norm={norm}")
 
 
+class _BandedDepthwise(nn.Module):
+    """Depthwise conv1d computed as per-channel banded [N, N] matmuls.
+
+    A `feature_group_count=C` conv is 128 independent 1-in/1-out convs —
+    near-zero MXU utilization on TPU. The identical linear map as a banded
+    matrix contraction IS an MXU op (measured A/B:
+    experiments/bench_depthwise.py, results/depthwise_bench.json). Params
+    (`kernel` [k, 1, C], `bias` [C]) match the grouped `nn.Conv` it
+    replaces, so checkpoints are interchangeable; outputs agree to dtype
+    rounding. Zero-pad SAME only; O(N^2 * C) band memory — for moderate
+    grids (the 192-768-pt induced grids), not the 6144-pt long-context
+    regime."""
+
+    kernel_size: int
+    use_bias: bool = True
+    dilation: int = 1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        assert x.ndim == 3, "banded depthwise is 1-D only"
+        n, c = x.shape[-2], x.shape[-1]
+        k, dil, half = self.kernel_size, self.dilation, self.kernel_size // 2
+        kernel = self.param("kernel", winit.kaiming_normal_fanout, (k, 1, c))
+        # XLA convs are cross-correlations: out[m] = sum_t x[m+(t-half)*dil]*w[t]
+        # => x[i] contributes to out[j] through tap t = (i-j)/dil + half
+        diff = jnp.arange(n)[:, None] - jnp.arange(n)[None, :]
+        t = diff // dil + half
+        valid = (diff % dil == 0) & (t >= 0) & (t < k)
+        t = jnp.clip(t, 0, k - 1)
+        band = jnp.where(valid[..., None], kernel[:, 0, :][t], 0.0)  # [n,n,c]
+        dt = self.dtype or x.dtype
+        y = jnp.einsum(
+            "bnc,cnm->bmc", x.astype(dt), jnp.transpose(band, (2, 0, 1)).astype(dt)
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (c,))
+            y = y + bias.astype(dt)
+        return y
+
+
+def depthwise_conv(kernel_size, use_bias, padding, dilation, dtype, name,
+                   banded=False, n_spatial=1, in_chan=None):
+    """The depthwise stage, in either lowering (same params either way)."""
+    if banded and n_spatial == 1 and padding == "SAME":
+        return _BandedDepthwise(
+            kernel_size, use_bias=use_bias, dilation=dilation, dtype=dtype,
+            name=name,
+        )
+    return nn.Conv(
+        in_chan,
+        kernel_size=(kernel_size,) * n_spatial,
+        padding=padding,
+        feature_group_count=in_chan,
+        use_bias=use_bias,
+        kernel_dilation=(dilation,) * n_spatial,
+        kernel_init=winit.kaiming_normal_fanout,
+        dtype=dtype,
+        name=name,
+    )
+
+
 class DepthSepConv(nn.Module):
     """Depthwise conv then pointwise 1x1 (ref helpers.py:354-403).
     kernel_size is an int; spatial rank inferred from the input."""
@@ -50,22 +112,23 @@ class DepthSepConv(nn.Module):
     use_bias: bool = True
     padding: str = "SAME"  # or "CIRCULAR" for periodic boundaries
     dilation: int = 1
+    banded: bool = False  # MXU banded-matmul depthwise (1-D SAME only)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         n_spatial = x.ndim - 2
         in_chan = x.shape[-1]
-        x = nn.Conv(
-            in_chan,
-            kernel_size=(self.kernel_size,) * n_spatial,
-            padding=self.padding,
-            feature_group_count=in_chan,
+        x = depthwise_conv(
+            self.kernel_size,
             use_bias=self.use_bias,
-            kernel_dilation=(self.dilation,) * n_spatial,
-            kernel_init=winit.kaiming_normal_fanout,
+            padding=self.padding,
+            dilation=self.dilation,
             dtype=self.dtype,
             name="depthwise",
+            banded=self.banded,
+            n_spatial=n_spatial,
+            in_chan=in_chan,
         )(x)
         return nn.Conv(
             self.out_chan,
@@ -112,6 +175,7 @@ class ResConvBlock(nn.Module):
     padding: str = "SAME"  # "CIRCULAR" gives full translation equivariance
     norm_eps: float = 1e-3
     dilation: int = 1
+    banded: bool = False  # MXU banded-matmul depthwise (1-D SAME only)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -132,22 +196,23 @@ class ResConvBlock(nn.Module):
                 use_bias=self.is_bias,
                 padding=self.padding,
                 dilation=self.dilation,
+                banded=self.banded,
                 dtype=self.dtype,
                 name="conv1",
             )(out)
 
         out = _norm_layer(self.norm, "norm2", self.norm_eps)(out, train)
         out = self.activation(out)
-        out = nn.Conv(
-            in_chan,
-            kernel_size=(self.kernel_size,) * n_spatial,
-            padding=self.padding,
-            feature_group_count=in_chan,
+        out = depthwise_conv(
+            self.kernel_size,
             use_bias=self.is_bias,
-            kernel_dilation=(self.dilation,) * n_spatial,
-            kernel_init=winit.kaiming_normal_fanout,
+            padding=self.padding,
+            dilation=self.dilation,
             dtype=self.dtype,
             name="conv2_depthwise",
+            banded=self.banded,
+            n_spatial=n_spatial,
+            in_chan=in_chan,
         )(out)
         out = out + x  # residual before pointwise (cnn.py:212-213)
         return nn.Conv(
@@ -279,6 +344,10 @@ class CNN(nn.Module):
     # ~n_blocks x activation size in the long-waveform / dense-grid regime
     # at the cost of one extra forward per block. Numerics are unchanged.
     remat: bool = False
+    # MXU banded-matmul lowering of the depthwise convs (see
+    # _BandedDepthwise). Only passed to blocks when True so block modules
+    # without the field keep working.
+    banded: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -295,6 +364,8 @@ class CNN(nn.Module):
             Block = nn.remat(Block, static_argnums=(2,))
         for i, out_chan in enumerate(chans[1:]):
             dil = {} if self.dilations is None else {"dilation": int(self.dilations[i])}
+            if self.banded:
+                dil["banded"] = True
             x = Block(
                 out_chan,
                 kernel_size=self.kernel_size,

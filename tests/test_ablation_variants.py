@@ -237,3 +237,55 @@ def test_gp_model_1d_cnn_remat_numerics_unchanged():
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3, atol=3e-4)
     assert "remat" in str(jax.make_jaxpr(loss_fn(remat))(variables["params"]))
+
+
+def test_cnn_banded_depthwise_numerics_match():
+    """ConvCNP(cnn_banded=True) — the MXU banded-matmul lowering of the
+    grid CNN's depthwise convs (ops/cnn.py _BandedDepthwise) — must share
+    the exact param tree with the grouped-conv model (checkpoints
+    interchangeable) and produce the same forward/gradients to f32
+    rounding: it is a throughput lever, not an architecture change."""
+    from npf_gwwaveform_tpu import ConvCNP
+    from npf_gwwaveform_tpu.losses import CNPFLoss
+
+    key = jax.random.PRNGKey(0)
+    rng = np.random.RandomState(0)
+    x = np.sort(rng.uniform(-1, 1, (2, 16, 1)).astype(np.float32), axis=1)
+    y = rng.randn(2, 16, 1).astype(np.float32)
+    splitter = CntxtTrgtSplitter(
+        contexts_getter=GetRandomIndcs(a=4.0, b=8), targets_getter=get_all_indcs
+    )
+    batch = splitter(key, x, y)
+    init_args = (batch["X_cntxt"], batch["Y_cntxt"], batch["X_trgt"])
+    init_kwargs = dict(mask_cntxt=batch["mask_cntxt"], mask_trgt=batch["mask_trgt"])
+
+    kw = dict(y_dim=1, x_dim=1, r_dim=16, density_induced=8,
+              cnn_n_blocks=2, cnn_kernel_size=5)
+    base = ConvCNP(**kw)
+    banded = ConvCNP(**kw, cnn_banded=True)
+    variables = base.init(key, *init_args, **init_kwargs)
+    v2 = banded.init(key, *init_args, **init_kwargs)
+    assert jax.tree_util.tree_structure(variables) == jax.tree_util.tree_structure(v2)
+    for a, b in zip(jax.tree_util.tree_leaves(variables), jax.tree_util.tree_leaves(v2)):
+        assert a.shape == b.shape
+
+    criterion = CNPFLoss()
+
+    def loss_fn(model):
+        def f(params):
+            out, _ = model.apply(
+                {**variables, "params": params}, *init_args,
+                **init_kwargs, train=True, mutable=["batch_stats"],
+            )
+            return criterion(out, batch["Y_trgt"], batch["mask_trgt"], train=True)
+        return f
+
+    l0, g0 = jax.value_and_grad(loss_fn(base))(variables["params"])
+    l1, g1 = jax.value_and_grad(loss_fn(banded))(variables["params"])
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3, atol=3e-4)
+    # the banded lowering must actually be in the program (einsum/dot), i.e.
+    # no grouped conv left for the depthwise stages
+    jaxpr = str(jax.make_jaxpr(loss_fn(banded))(variables["params"]))
+    assert "feature_group_count=16" not in jaxpr
