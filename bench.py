@@ -186,9 +186,16 @@ def main():
 
     if args.detail or args.detail_fast:
         detail = {"flagship": None, "sweep": [], "long_context": []}
-        if args.detail_fast and os.path.exists("BENCH_DETAIL.json"):
+        if os.path.exists("BENCH_DETAIL.json"):
             with open("BENCH_DETAIL.json") as f:
-                detail["sweep"] = json.load(f).get("sweep", [])
+                prev = json.load(f)
+            # keep rows/sections this mode doesn't re-measure (e.g. the
+            # banded/variants A/B merged in by other runs)
+            for k, v in prev.items():
+                if k not in ("flagship", "sweep", "long_context"):
+                    detail[k] = v
+            if args.detail_fast:
+                detail["sweep"] = prev.get("sweep", [])
 
         def flush():
             ok = [r for r in detail["sweep"] if "error" not in r]
