@@ -289,3 +289,23 @@ def test_cnn_banded_depthwise_numerics_match():
     # no grouped conv left for the depthwise stages
     jaxpr = str(jax.make_jaxpr(loss_fn(banded))(variables["params"]))
     assert "feature_group_count=16" not in jaxpr
+
+
+def test_banded_depthwise_matches_grouped_conv_with_dilation():
+    """_BandedDepthwise must equal the grouped nn.Conv depthwise for
+    dilated kernels too (the multi-scale GW configs)."""
+    import flax.linen as nn
+
+    from npf_gwwaveform_tpu.ops.cnn import DepthSepConv
+
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (2, 24, 8))
+    for dil in (1, 2, 4):
+        a = DepthSepConv(8, 5, dilation=dil)
+        b = DepthSepConv(8, 5, dilation=dil, banded=True)
+        va = a.init(key, x)
+        out_a = a.apply(va, x)
+        out_b = b.apply(va, x)  # same params by construction
+        np.testing.assert_allclose(
+            np.asarray(out_b), np.asarray(out_a), rtol=2e-5, atol=2e-6
+        )
