@@ -75,6 +75,12 @@ def main():
         "multi-scale lever for the GW low-Mc tail)",
     )
     ap.add_argument(
+        "--banded", action="store_true",
+        help="MXU banded-matmul lowering of the grid CNN's depthwise convs "
+        "(ops/cnn.py _BandedDepthwise): throughput lever on moderate "
+        "induced grids; same params/math to f32 rounding",
+    )
+    ap.add_argument(
         "--remat", action="store_true",
         help="rematerialize grid-CNN blocks on the backward pass "
         "(jax.checkpoint) — cuts peak HBM ~n_blocks x block activations in "
@@ -108,7 +114,8 @@ def main():
     dilations = (
         tuple(int(d) for d in args.cnn_dilations.split(",")) if args.cnn_dilations else None
     )
-    if args.cnn_kernel or dilations or args.cnn_arch != "cnn" or args.remat:
+    if (args.cnn_kernel or dilations or args.cnn_arch != "cnn" or args.remat
+            or args.banded):
         from npf_gwwaveform_tpu.configs import gp_model_1d
 
         model = gp_model_1d(
@@ -118,6 +125,7 @@ def main():
             cnn_dilations=dilations,
             cnn_arch=args.cnn_arch,
             cnn_remat=args.remat,
+            cnn_banded=args.banded,
         )
     else:
         model = build_model(args.model, dtype=dtype)
@@ -294,6 +302,9 @@ def main():
     if args.cnn_arch != "cnn":
         tag += f"_{args.cnn_arch}"
         summary["cnn_arch"] = args.cnn_arch
+    if args.banded:
+        tag += "_banded"
+        summary["cnn_banded"] = True
     run_dir = os.path.join(args.out, tag, args.model, "run_0")
     os.makedirs(run_dir, exist_ok=True)
     np.savetxt(os.path.join(run_dir, "eval.csv"), -nlls, delimiter=",")

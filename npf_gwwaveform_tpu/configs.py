@@ -39,7 +39,8 @@ def _xy_encoder(hidden_size, dtype=None):
 
 
 def _cnn_factory(
-    n_blocks, dtype=None, kernel_size=19, norm_eps=1e-3, dilations=None, remat=False
+    n_blocks, dtype=None, kernel_size=19, norm_eps=1e-3, dilations=None, remat=False,
+    banded=False,
 ):
     # ConvCNP.ipynb CNN_KWARGS: ResConvBlock, n_conv_layers=2, k=19, BatchNorm
     # (the Matern_Kernel pretrained ConvCNP checkpoint was trained with k=15).
@@ -56,6 +57,7 @@ def _cnn_factory(
             dilations=dilations,
             block_kwargs={"n_conv_layers": 2, "norm_eps": norm_eps},
             remat=remat,
+            banded=banded,
             dtype=dtype,
             name=name,
         )
@@ -96,6 +98,7 @@ def gp_model_1d(
     cnn_dilations: Optional[tuple] = None,
     cnn_arch: str = "cnn",
     cnn_remat: bool = False,
+    cnn_banded: bool = False,
 ):
     """The exact 1-D model the reference's notebook benchmarks use.
 
@@ -140,7 +143,7 @@ def gp_model_1d(
         def cnn_factory(n_blocks):
             return _cnn_factory(
                 n_blocks, dtype, cnn_kernel_size, cnn_norm_eps, cnn_dilations,
-                remat=cnn_remat,
+                remat=cnn_remat, banded=cnn_banded,
             )
     if name == "ConvCNP":
         return ConvCNP(
