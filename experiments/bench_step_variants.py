@@ -25,7 +25,10 @@ Writes results/step_variants.json and prints one JSON line per row.
 import argparse
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp

@@ -86,6 +86,13 @@ def main():
         "(jax.checkpoint) — cuts peak HBM ~n_blocks x block activations in "
         "long-waveform/dense-grid configs; numerics unchanged",
     )
+    ap.add_argument(
+        "--eval-only", action="store_true",
+        help="skip training: load params.msgpack from the run dir this "
+        "config maps to, re-run the eval block, and merge the new metric "
+        "keys into the existing summary.json (used to rescore frozen runs "
+        "when the eval protocol gains metrics, e.g. mismatch_zdraw_*)",
+    )
     ap.add_argument("--out", default="results/")
     args = ap.parse_args()
 
@@ -179,6 +186,38 @@ def main():
     ex = splitter(key, x0, y0, condition=p0 if args.cond else None)
     state = create_train_state(model, tx, ex, seed=0)
 
+    tag = f"GW_{args.mode}" + (
+        ("_cond" if args.cond_mode == "add" else "_cond_film") if args.cond else ""
+    )
+    tag += f"_ctx{args.n_context}"
+    if args.density:
+        tag += f"_d{args.density}"
+    if args.cnn_kernel:
+        tag += f"_k{args.cnn_kernel}"
+    if dilations:
+        tag += "_dil" + "-".join(str(d) for d in dilations)
+    if args.cnn_arch != "cnn":
+        tag += f"_{args.cnn_arch}"
+    if args.banded:
+        tag += "_banded"
+    run_dir = os.path.join(args.out, tag, args.model, "run_0")
+
+    if args.eval_only:
+        import flax.serialization
+
+        with open(os.path.join(run_dir, "params.msgpack"), "rb") as f:
+            params = flax.serialization.from_bytes(
+                jax.device_get(state.params), f.read()
+            )
+        state = state.replace(params=jax.device_put(params))
+        extra_path = os.path.join(run_dir, "extra_vars.msgpack")
+        if os.path.exists(extra_path):
+            with open(extra_path, "rb") as f:
+                extra = flax.serialization.from_bytes(
+                    jax.device_get(state.extra_vars), f.read()
+                )
+            state = state.replace(extra_vars=jax.device_put(extra))
+
     def one_step(state, k):
         x, y, p = make_batch(k, args.batch)
         if args.cond:
@@ -193,49 +232,51 @@ def main():
     def run_chunk(state, key):
         return jax.lax.scan(one_step, state, jax.random.split(key, inner))
 
-    n_chunks = args.steps // inner
-    t0 = time.time()
-    state, losses = run_chunk(state, key)
-    jax.block_until_ready(losses)
-    print(
-        f"compile+chunk0: {time.time()-t0:.1f}s loss {float(losses.mean()):.2f}",
-        flush=True,
-    )
-    t0 = time.time()
-    # host snapshot + retry-from-snapshot so a dropped device execution
-    # (UNAVAILABLE blips observed on the tunnel) resumes instead of dying
-    state_host = jax.device_get(state)
+    n_chunks = 0 if args.eval_only else args.steps // inner
     hist = []
-    i, retries = 1, 0
-    while i < n_chunks:
-        try:
-            if state is None:
-                state = jax.device_put(state_host)
-            state, losses = run_chunk(state, jax.random.PRNGKey(10 + i))
-            jax.block_until_ready(losses)
-            state_host = jax.device_get(state)
-        except Exception as e:
-            retries += 1
-            if retries > 5:
-                raise
-            print(f"chunk {i} failed ({type(e).__name__}); retrying", flush=True)
-            time.sleep(15 * retries)
-            state = None
-            continue
-        hist.append({
-            "step": (i + 1) * inner,
-            "dur": time.time() - t0,
-            "train_loss": float(losses.mean()),
-        })
-        if i % max(1, n_chunks // 10) == 0:
-            print(
-                f"chunk {i}/{n_chunks} loss {float(losses.mean()):.2f} "
-                f"({(i*inner*args.batch)/(time.time()-t0):.0f} wf/s)",
-                flush=True,
-            )
-        i += 1
-    jax.block_until_ready(state.params)
-    train_time = time.time() - t0
+    train_time = float("nan")
+    if n_chunks:
+        t0 = time.time()
+        state, losses = run_chunk(state, key)
+        jax.block_until_ready(losses)
+        print(
+            f"compile+chunk0: {time.time()-t0:.1f}s loss {float(losses.mean()):.2f}",
+            flush=True,
+        )
+        t0 = time.time()
+        # host snapshot + retry-from-snapshot so a dropped device execution
+        # (UNAVAILABLE blips observed on the tunnel) resumes instead of dying
+        state_host = jax.device_get(state)
+        i, retries = 1, 0
+        while i < n_chunks:
+            try:
+                if state is None:
+                    state = jax.device_put(state_host)
+                state, losses = run_chunk(state, jax.random.PRNGKey(10 + i))
+                jax.block_until_ready(losses)
+                state_host = jax.device_get(state)
+            except Exception as e:
+                retries += 1
+                if retries > 5:
+                    raise
+                print(f"chunk {i} failed ({type(e).__name__}); retrying", flush=True)
+                time.sleep(15 * retries)
+                state = None
+                continue
+            hist.append({
+                "step": (i + 1) * inner,
+                "dur": time.time() - t0,
+                "train_loss": float(losses.mean()),
+            })
+            if i % max(1, n_chunks // 10) == 0:
+                print(
+                    f"chunk {i}/{n_chunks} loss {float(losses.mean()):.2f} "
+                    f"({(i*inner*args.batch)/(time.time()-t0):.0f} wf/s)",
+                    flush=True,
+                )
+            i += 1
+        jax.block_until_ready(state.params)
+        train_time = time.time() - t0
 
     # ------------------------- eval: NLL + waveform mismatch ----------------
     @jax.jit
@@ -248,22 +289,33 @@ def main():
         nll = trainer.eval_criterion(out, batch["Y_trgt"], batch["mask_trgt"], train=False)
         # posterior-mean reconstruction for the mismatch metric
         pred = jnp.mean(out.p_yCc.loc, axis=0)  # [B, N, y_dim] over z
-        return nll, pred, y
+        if args.mode == "time":
+            mm = mismatch(pred[..., 0], y[..., 0])
+            # per-z-draw mismatch: a latent model's z samples each carry a
+            # coherent phase, but their MIXTURE mean cancels (incoherent
+            # averaging) — score each posterior draw's reconstruction and
+            # average the scores, not the waveforms. For n_z=1 (CNPF
+            # models) this equals the mixture-mean metric exactly.
+            mm_z = jax.vmap(lambda l: mismatch(l, y[..., 0]))(out.p_yCc.loc[..., 0])
+            mm_zdraw = jnp.mean(mm_z, axis=0)
+        else:
+            mm = mm_zdraw = jnp.zeros((y.shape[0],))
+        return nll, mm, mm_zdraw
 
-    nlls, mms, thetas = [], [], []
+    nlls, mms, mms_zdraw, thetas = [], [], [], []
     # eval batches are a fixed 256 waveforms; at least one so smoke runs
     # with --n-test < 256 still produce eval artifacts (production n_test
     # is a multiple of 256 and is unaffected)
     for i in range(max(1, args.n_test // 256)):
         kd = jax.random.fold_in(jax.random.PRNGKey(123), i)
-        nll, pred, y = eval_batch(state, kd)
+        nll, mm, mm_zdraw = eval_batch(state, kd)
         nlls.append(np.asarray(nll))
         # raw physical parameters of this eval batch (same kd split as
         # eval_batch's make_batch) for tail/failure-mode analysis
         thetas.append(np.asarray(space.sample(jax.random.split(kd, 3)[0], 256)))
         if args.mode == "time":
-            mm = mismatch(pred[..., 0], y[..., 0])
             mms.append(np.asarray(mm))
+            mms_zdraw.append(np.asarray(mm_zdraw))
     nlls = np.concatenate(nlls)
 
     summary = {
@@ -279,45 +331,47 @@ def main():
     }
     if mms:
         mm = np.concatenate(mms)
+        mm_zdraw = np.concatenate(mms_zdraw)
         summary["mismatch_median"] = float(np.median(mm))
         summary["mismatch_mean"] = float(mm.mean())
         summary["mismatch_p90"] = float(np.percentile(mm, 90))
         summary["mismatch_p99"] = float(np.percentile(mm, 99))
         summary["frac_below_0.03"] = float((mm < 0.03).mean())
         summary["frac_below_0.1"] = float((mm < 0.1).mean())
+        summary["mismatch_zdraw_median"] = float(np.median(mm_zdraw))
+        summary["mismatch_zdraw_p90"] = float(np.percentile(mm_zdraw, 90))
+        summary["zdraw_frac_below_0.03"] = float((mm_zdraw < 0.03).mean())
 
-    tag = f"GW_{args.mode}" + (
-        ("_cond" if args.cond_mode == "add" else "_cond_film") if args.cond else ""
-    )
-    tag += f"_ctx{args.n_context}"
     if args.density:
-        tag += f"_d{args.density}"
         summary["density_induced"] = args.density
     if args.cnn_kernel:
-        tag += f"_k{args.cnn_kernel}"
         summary["cnn_kernel_size"] = args.cnn_kernel
     if dilations:
-        tag += "_dil" + "-".join(str(d) for d in dilations)
         summary["cnn_dilations"] = list(dilations)
     if args.cnn_arch != "cnn":
-        tag += f"_{args.cnn_arch}"
         summary["cnn_arch"] = args.cnn_arch
     if args.banded:
-        tag += "_banded"
         summary["cnn_banded"] = True
-    run_dir = os.path.join(args.out, tag, args.model, "run_0")
     os.makedirs(run_dir, exist_ok=True)
+    if args.eval_only:
+        # merge new metric keys into the frozen run's summary, preserving
+        # its training fields (train_wf_per_sec, steps, ...)
+        with open(os.path.join(run_dir, "summary.json")) as f:
+            old = json.load(f)
+        summary = {**old, **{k: v for k, v in summary.items()
+                             if not (isinstance(v, float) and np.isnan(v))}}
     np.savetxt(os.path.join(run_dir, "eval.csv"), -nlls, delimiter=",")
-    from npf_gwwaveform_tpu.training import write_history, write_model_summary
+    if not args.eval_only:
+        from npf_gwwaveform_tpu.training import write_history, write_model_summary
 
-    write_model_summary(run_dir, model, state.params)
-    write_history(run_dir, hist)
-    import flax.serialization
+        write_model_summary(run_dir, model, state.params)
+        write_history(run_dir, hist)
+        import flax.serialization
 
-    with open(os.path.join(run_dir, "params.msgpack"), "wb") as f:
-        f.write(flax.serialization.to_bytes(jax.device_get(state.params)))
-    with open(os.path.join(run_dir, "extra_vars.msgpack"), "wb") as f:
-        f.write(flax.serialization.to_bytes(jax.device_get(state.extra_vars)))
+        with open(os.path.join(run_dir, "params.msgpack"), "wb") as f:
+            f.write(flax.serialization.to_bytes(jax.device_get(state.params)))
+        with open(os.path.join(run_dir, "extra_vars.msgpack"), "wb") as f:
+            f.write(flax.serialization.to_bytes(jax.device_get(state.extra_vars)))
     if mms:
         # per-waveform mismatch alongside the physical parameters
         # (m1, m2, chi1, chi2 columns) — the tail is physics-correlated;
