@@ -77,10 +77,21 @@ def profile(batch_size, n_points=256, n_inner=50, n_chunks=4):
             trainer.criterion(out, batch["Y_trgt"], batch["mask_trgt"], train=True)
         )
 
-    # each stage: scan n_inner iterations, carry a scalar so nothing is DCEd
+    # each stage: scan n_inner iterations. Every stage must emit a value
+    # that DEPENDS ON ALL of its work or XLA dead-code-eliminates the rest
+    # (first version of this script output one grad-leaf element and
+    # "measured" a free backward pass — the whole backprop to the other
+    # parameters was DCEd).
+    def _use_all(tree):
+        return jax.tree_util.tree_reduce(
+            lambda a, b: a + jnp.sum(jnp.square(b.astype(jnp.float32))),
+            tree,
+            jnp.float32(0.0),
+        )
+
     def stage_datagen(_, k):
         x, y = make_batch(k)
-        return None, jnp.sum(y) * 0 + jnp.max(x)
+        return None, jnp.sum(y) + jnp.max(x)
 
     def stage_split(_, k):
         batch = splitter(k, x0, y0)
@@ -92,9 +103,20 @@ def profile(batch_size, n_points=256, n_inner=50, n_chunks=4):
 
     def stage_bwd(_, k):
         batch = splitter(k, x0, y0)
-        return None, jax.grad(loss_only)(state.params, batch, k)["decoder"][
-            "MLP_0"
-        ]["out"]["bias"][0]
+        return None, _use_all(jax.grad(loss_only)(state.params, batch, k))
+
+    # optimizer in isolation: Adam moment update + param write traffic on
+    # frozen grads (carries the real state so the update chain is live)
+    grads0 = jax.jit(jax.grad(loss_only))(state.params, ex_batch, key)
+
+    def stage_adam(st, k):
+        import optax
+
+        updates, opt_state = tx.update(grads0, st.opt_state, st.params)
+        st = st.replace(
+            params=optax.apply_updates(st.params, updates), opt_state=opt_state
+        )
+        return st, _use_all(st.params)
 
     def stage_full(st, k):
         x, y = make_batch(k)
@@ -106,6 +128,7 @@ def profile(batch_size, n_points=256, n_inner=50, n_chunks=4):
         "split": (stage_split, None),
         "split+fwd": (stage_fwd, None),
         "split+fwd+bwd": (stage_bwd, None),
+        "adam": (stage_adam, state),
         "full_step": (stage_full, state),
     }
     out = {"batch_size": batch_size}

@@ -87,6 +87,14 @@ def main():
         "long-waveform/dense-grid configs; numerics unchanged",
     )
     ap.add_argument(
+        "--no-lat-lb", action="store_true",
+        help="latent models: drop the 0.1+0.9*sigmoid lower bound on the "
+        "q(z) scale (the Losses.ipynb LatLBFalse form, 1e-4+softplus). "
+        "Hypothesis lever for the GW ConvLNP marginal-collapse: the 0.1 "
+        "per-grid-point latent noise floor may exceed the phase precision "
+        "the task needs",
+    )
+    ap.add_argument(
         "--eval-only", action="store_true",
         help="skip training: load params.msgpack from the run dir this "
         "config maps to, re-run the eval block, and merge the new metric "
@@ -141,6 +149,11 @@ def main():
         cond_dim=4 if args.cond else 0,
         cond_mode=args.cond_mode,
         **({"density_induced": args.density} if args.density else {}),
+        **(
+            {"lat_scale_transform": "softplus", "min_lat_sigma": 1e-4}
+            if args.no_lat_lb
+            else {}
+        ),
     )
     criterion = criterion_for(args.model)
     splitter = CntxtTrgtSplitter(
@@ -200,6 +213,8 @@ def main():
         tag += f"_{args.cnn_arch}"
     if args.banded:
         tag += "_banded"
+    if args.no_lat_lb:
+        tag += "_latlbF"
     run_dir = os.path.join(args.out, tag, args.model, "run_0")
 
     if args.eval_only:
@@ -352,6 +367,8 @@ def main():
         summary["cnn_arch"] = args.cnn_arch
     if args.banded:
         summary["cnn_banded"] = True
+    if args.no_lat_lb:
+        summary["no_lat_lb"] = True
     os.makedirs(run_dir, exist_ok=True)
     if args.eval_only:
         # merge new metric keys into the frozen run's summary, preserving
