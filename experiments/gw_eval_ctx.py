@@ -79,6 +79,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("run_dir", nargs="*", default=[FLAGSHIP])
     ap.add_argument("--ctx", default="16,32,64,128,192")
+    ap.add_argument(
+        "--fixed", action="store_true",
+        help="use EXACTLY n context points per waveform instead of the "
+        "training protocol's U{0..n} draw. The U-draw tail is dominated "
+        "by near-empty-context waveforms (a task-spec floor); fixed "
+        "counts isolate the model's capability at a known observation "
+        "budget. Writes ctx_sweep_fixed.json.",
+    )
     ap.add_argument("--n-test", type=int, default=1024)
     ap.add_argument("--n-points", type=int, default=256)
     ap.add_argument("--plot", action="store_true",
@@ -174,8 +182,13 @@ def main():
     for n_ctx in [int(c) for c in args.ctx.split(",")]:
         splitter = CntxtTrgtSplitter(
             # per-waveform independent draw in [0, n_ctx] mirrors the run's
-            # eval protocol (reproduce_gw.py eval_splitter, is_indep_n)
-            contexts_getter=GetRandomIndcs(a=0.0, b=n_ctx, is_indep_n=True),
+            # eval protocol (reproduce_gw.py eval_splitter, is_indep_n);
+            # --fixed pins the count to exactly n_ctx instead
+            contexts_getter=GetRandomIndcs(
+                a=float(n_ctx) if args.fixed else 0.0,
+                b=n_ctx,
+                is_indep_n=not args.fixed,
+            ),
             targets_getter=get_all_indcs,
         )
 
@@ -213,7 +226,8 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    with open(os.path.join(args.run_dir, "ctx_sweep.json"), "w") as f:
+    name = "ctx_sweep_fixed.json" if args.fixed else "ctx_sweep.json"
+    with open(os.path.join(args.run_dir, name), "w") as f:
         json.dump(rows, f, indent=2)
 
 

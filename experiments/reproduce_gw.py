@@ -87,6 +87,18 @@ def main():
         "long-waveform/dense-grid configs; numerics unchanged",
     )
     ap.add_argument(
+        "--duration", type=float, default=1.0,
+        help="seconds of time-domain waveform at 1024 Hz; with --n-points "
+        "matching duration*1024 this is the long-waveform configuration "
+        "(e.g. --duration 2 --n-points 2048)",
+    )
+    ap.add_argument(
+        "--pallas", action="store_true",
+        help="use the Pallas fused SetConv (the long-context kernel: wins "
+        "end-to-end once the induced grid scales with waveform length, "
+        "BENCH_DETAIL.json long_context rows; XLA wins at flagship shapes)",
+    )
+    ap.add_argument(
         "--no-lat-lb", action="store_true",
         help="latent models: drop the 0.1+0.9*sigmoid lower bound on the "
         "q(z) scale (the Losses.ipynb LatLBFalse form, 1e-4+softplus). "
@@ -116,7 +128,7 @@ def main():
     from npf_gwwaveform_tpu.training import Trainer, create_train_state, make_optimizer
     from npf_gwwaveform_tpu.utils.predict import SamplePredictor
 
-    gen = GWWaveformGenerator(duration=1.0, sample_rate=1024.0)
+    gen = GWWaveformGenerator(duration=args.duration, sample_rate=1024.0)
     space = GWParameterSpace()
     y_dim = 1 if args.mode == "time" else 2
 
@@ -148,6 +160,7 @@ def main():
         y_dim=y_dim,
         cond_dim=4 if args.cond else 0,
         cond_mode=args.cond_mode,
+        **({"use_pallas_setconv": True} if args.pallas else {}),
         **({"density_induced": args.density} if args.density else {}),
         **(
             {"lat_scale_transform": "softplus", "min_lat_sigma": 1e-4}
@@ -215,6 +228,12 @@ def main():
         tag += "_banded"
     if args.no_lat_lb:
         tag += "_latlbF"
+    if args.duration != 1.0:
+        tag += f"_T{args.duration:g}s"
+    if args.n_points != 256:
+        tag += f"_np{args.n_points}"
+    if args.pallas:
+        tag += "_pallas"
     run_dir = os.path.join(args.out, tag, args.model, "run_0")
 
     if args.eval_only:
@@ -369,6 +388,11 @@ def main():
         summary["cnn_banded"] = True
     if args.no_lat_lb:
         summary["no_lat_lb"] = True
+    if args.duration != 1.0:
+        summary["duration"] = args.duration
+        summary["n_points"] = args.n_points
+    if args.pallas:
+        summary["use_pallas_setconv"] = True
     os.makedirs(run_dir, exist_ok=True)
     if args.eval_only:
         # merge new metric keys into the frozen run's summary, preserving
