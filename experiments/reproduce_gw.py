@@ -114,6 +114,8 @@ def main():
         "when the eval protocol gains metrics, e.g. mismatch_zdraw_*)",
     )
     ap.add_argument("--out", default="results/")
+    ap.add_argument("--run", type=int, default=0,
+                    help="run index (artifact dir run_{i}; reference layout)")
     args = ap.parse_args()
 
     from experiments.reproduce_gp import build_model, criterion_for
@@ -234,7 +236,7 @@ def main():
         tag += f"_np{args.n_points}"
     if args.pallas:
         tag += "_pallas"
-    run_dir = os.path.join(args.out, tag, args.model, "run_0")
+    run_dir = os.path.join(args.out, tag, args.model, f"run_{args.run}")
 
     if args.eval_only:
         import flax.serialization

@@ -79,6 +79,41 @@ def test_gw_eval_ctx_on_frozen_run(gw_smoke_run):
         assert 0.0 <= r["p50"] <= 1.0 and r["p50"] <= r["p90"] <= 1.0
 
 
+def test_reproduce_gw_eval_only_rescore(gw_smoke_run):
+    """--eval-only reloads the frozen run and merges new metric keys into
+    its summary (the path used to rescore old runs when the eval protocol
+    gains metrics), preserving training-time fields."""
+    before = json.loads((gw_smoke_run / "summary.json").read_text())
+    out_root = gw_smoke_run.parent.parent.parent  # .../gw_smoke
+    run([
+        "experiments/reproduce_gw.py", "--model", "CNP", "--steps", "50",
+        "--batch", "8", "--n-test", "64", "--out", str(out_root),
+        "--eval-only",
+    ])
+    after = json.loads((gw_smoke_run / "summary.json").read_text())
+    # training fields preserved, not overwritten by the (untrained) rescore
+    assert after["train_wf_per_sec"] == before["train_wf_per_sec"]
+    # new per-z-draw keys present; for a deterministic model (n_z=1) the
+    # z-draw metric must equal the mixture-mean metric exactly
+    assert np.isclose(after["mismatch_zdraw_median"], after["mismatch_median"])
+    assert np.isclose(after["mismatch_zdraw_p90"], after["mismatch_p90"])
+    # params were NOT rewritten by the eval-only pass
+    assert (gw_smoke_run / "params.msgpack").stat().st_size > 0
+
+
+def test_gw_eval_ctx_fixed_counts(gw_smoke_run):
+    """--fixed pins the context count (capability at a known observation
+    budget, vs the U{0..n} protocol's near-empty-draw floor)."""
+    run([
+        "experiments/gw_eval_ctx.py", str(gw_smoke_run),
+        "--ctx", "16,64", "--n-test", "64", "--fixed",
+    ])
+    rows = json.loads((gw_smoke_run / "ctx_sweep_fixed.json").read_text())
+    assert [r["n_context"] for r in rows] == [16, 64]
+    for r in rows:
+        assert 0.0 <= r["p50"] <= 1.0 and r["p50"] <= r["p90"] <= 1.0
+
+
 def test_gw_tail_analysis(gw_smoke_run):
     r = run(["experiments/gw_tail_analysis.py", str(gw_smoke_run)])
     out = json.loads(r.stdout.strip().splitlines()[-1])
