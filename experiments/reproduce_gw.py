@@ -87,6 +87,14 @@ def main():
         "long-waveform/dense-grid configs; numerics unchanged",
     )
     ap.add_argument(
+        "--loss", default=None, choices=[None, "elbo"],
+        help="latent models: train with NPVI/ELBO (q(z|C,T) posterior "
+        "sampling, n_z_train=1, per-sample reconstruction gradients) "
+        "instead of the default NPML — causal probe for the GW latent "
+        "plateau (NPML's logsumexp concentrates gradient on the best z "
+        "sample, which can stall phase learning; eval still forces NPML)",
+    )
+    ap.add_argument(
         "--duration", type=float, default=1.0,
         help="seconds of time-domain waveform at 1024 Hz; with --n-points "
         "matching duration*1024 this is the long-waveform configuration "
@@ -171,6 +179,11 @@ def main():
         ),
     )
     criterion = criterion_for(args.model)
+    if args.loss == "elbo":
+        from npf_gwwaveform_tpu.losses import ELBOLossLNPF
+
+        model = model.clone(is_q_zCct=True, n_z_samples_train=1)
+        criterion = ELBOLossLNPF()
     splitter = CntxtTrgtSplitter(
         contexts_getter=GetRandomIndcs(a=0.0, b=args.n_context),
         targets_getter=get_all_indcs,
@@ -230,6 +243,8 @@ def main():
         tag += "_banded"
     if args.no_lat_lb:
         tag += "_latlbF"
+    if args.loss == "elbo":
+        tag += "_elbo"
     if args.duration != 1.0:
         tag += f"_T{args.duration:g}s"
     if args.n_points != 256:
@@ -390,6 +405,8 @@ def main():
         summary["cnn_banded"] = True
     if args.no_lat_lb:
         summary["no_lat_lb"] = True
+    if args.loss:
+        summary["train_loss_objective"] = args.loss
     if args.duration != 1.0:
         summary["duration"] = args.duration
         summary["n_points"] = args.n_points
