@@ -122,6 +122,28 @@ def test_gw_tail_analysis(gw_smoke_run):
     assert "chirp_mass_tail_median" in out
 
 
+def test_eval_extrapolation_oracle_and_cnp():
+    """The extrapolation scorer's oracle row (masked exact-GP posterior,
+    big-diagonal trick) and a frozen-checkpoint model row both produce
+    finite interp/extrap LLs with the right ordering (oracle >= model on
+    interpolation; everything's extrapolation LL is far below its
+    interpolation LL at 2x range)."""
+    r = run([
+        "experiments/eval_extrapolation.py", "--models", "oracle,CNP",
+        "--n-test", "256", "--n-points", "64",
+    ], timeout=420)
+    rows = [json.loads(l) for l in r.stdout.strip().splitlines()
+            if l.startswith("{")]
+    byname = {row["model"]: row for row in rows if "interp_ll_per_fn" in row}
+    assert "oracle_gp" in byname
+    o = byname["oracle_gp"]
+    assert np.isfinite(o["interp_ll_per_fn"]) and np.isfinite(o["extrap_ll_per_fn"])
+    assert o["interp_ll_per_fn"] > o["extrap_ll_per_fn"]
+    if "CNP" in byname:  # checkpoint present in the results tree
+        c = byname["CNP"]
+        assert o["interp_ll_per_fn"] >= c["interp_ll_per_fn"]
+
+
 def test_results_table_full_grid():
     """The checked-in results tree must regenerate the full 6x6 grid."""
     r = run(["experiments/results_table.py", "--markdown"], timeout=120)
