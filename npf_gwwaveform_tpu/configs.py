@@ -164,6 +164,49 @@ def gp_model_1d(
     raise ValueError(name)
 
 
+def gw_model_1d(
+    name: str,
+    r_dim: int = R_DIM,
+    dtype: Optional[jnp.dtype] = None,
+    density_induced: int = 128,
+    cnn_kernel_size: int = 19,
+    use_pallas_setconv: bool = False,
+):
+    """The measured best GW-waveform configuration per model family — the
+    north-star task's counterpart of `gp_model_1d` (the reference has no GW
+    code; these settings are this repo's own measured results, RESULTS.md
+    'GW waveform configs'):
+
+    * parameter conditioning on (m1, m2, chi1, chi2): FiLM per-grid-point
+      modulation for the conv family (7x better median mismatch than a
+      global additive embedding at matched budget), additive for set/attn
+      models (no grid to modulate);
+    * `density_induced=128`: the flagship grid — resolves the late-inspiral
+      chirp the default-64 grid aliases (train with context budgets scaled
+      to match, see reproduce_gw --n-context 192);
+    * latent models get the UNBOUNDED q(z) scale (`1e-4 + softplus`): the
+      reference's default `0.1 + 0.9*sigmoid` floor (its base.py:432)
+      injects irreducible grid-representation noise that caps phase
+      precision — the diagnosed cause of latent-NP collapse on waveforms
+      (mismatch 0.947 -> 0.337 at matched 50k steps from this one change).
+    """
+    base = gp_model_1d(
+        name, r_dim=r_dim, dtype=dtype, cnn_kernel_size=cnn_kernel_size
+    )
+    kwargs = dict(
+        cond_dim=4,
+        cond_mode="film" if getattr(base, "_supports_film", False) else "add",
+    )
+    if hasattr(base, "density_induced"):
+        kwargs.update(
+            density_induced=density_induced,
+            use_pallas_setconv=use_pallas_setconv,
+        )
+    if name in ("LNP", "AttnLNP", "ConvLNP"):
+        kwargs.update(lat_scale_transform="softplus", min_lat_sigma=1e-4)
+    return base.clone(**kwargs)
+
+
 def gp_criterion(name: str):
     """The matching training objective (eval always forces NPML)."""
     if name in ("CNP", "AttnCNP", "ConvCNP"):

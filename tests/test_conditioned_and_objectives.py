@@ -171,3 +171,29 @@ def test_convcnp_extrapolation_via_induced_range():
     )
     assert out.p_yCc.loc.shape == (1, 2, 24, 1)
     assert bool(jnp.isfinite(out.p_yCc.loc).all())
+
+
+def test_gw_model_1d_configs_build_and_forward(key):
+    """configs.gw_model_1d: the measured-best GW configuration per family
+    (FiLM for conv, additive otherwise, unbounded latent scale for latent
+    models — the diagnosed LatLB phase-precision rule, RESULTS.md)."""
+    from npf_gwwaveform_tpu.configs import gw_model_1d
+
+    B, N = 2, 24
+    x = jnp.linspace(-1, 1, N)[None, :, None].repeat(B, 0)
+    y = jnp.sin(8 * x)
+    cond = jnp.zeros((B, 4))
+    for name in ("CNP", "LNP", "AttnCNP", "AttnLNP", "ConvCNP", "ConvLNP"):
+        model = gw_model_1d(name, r_dim=16, density_induced=16)
+        if name in ("LNP", "AttnLNP", "ConvLNP"):
+            assert model.lat_scale_transform == "softplus"
+            assert model.min_lat_sigma == 1e-4
+        assert model.cond_mode == ("film" if name.startswith("Conv") else "add")
+        variables = model.init(
+            {"params": key, "latent": key}, x, y, x, condition=cond
+        )
+        out = model.apply(
+            variables, x, y, x, condition=cond, train=False,
+            rngs={"latent": key},
+        )
+        assert np.isfinite(np.asarray(out.p_yCc.loc)).all()
