@@ -14,7 +14,8 @@ reported separately over
   * interpolation targets (|x| <= 1) — sanity row, should match the grid
   * extrapolation targets (|x| > 1) — the translation-equivariance test
 
-ConvCNP/ConvLNP are rebuilt with `induced_range=(-2.5, 2.5)` at the same
+ConvCNP/ConvLNP are rebuilt with `induced_range=(-3.0, 3.0)` — 2x the
+default (-1.5, 1.5), matching the 2x range scaling — at the same
 density (the reference's set_extrapolation semantics; SetConv + CNN params
 are position-independent so the frozen weights transfer exactly). The
 expected qualitative outcome (reference website): conv models extrapolate
@@ -49,6 +50,10 @@ def main():
     ap.add_argument("--n-test", type=int, default=2560)
     ap.add_argument("--n-points", type=int, default=256)
     ap.add_argument("--max-cntxt", type=int, default=50)
+    ap.add_argument("--out", default="results",
+                    help="output dir for extrapolation_{kernel}.json (tests "
+                    "pass a tmp dir so smoke runs never clobber the checked-"
+                    "in full-protocol artifacts)")
     args = ap.parse_args()
 
     import flax.serialization
@@ -176,23 +181,25 @@ def main():
 
         @jax.jit
         def eval_batch(state, key):
-            kd, ks, kl1, kl2 = jax.random.split(key, 4)
+            kd, ks, kl = jax.random.split(key, 3)
             x, y = sampler.sample(kd, bs, min_max=wide)
             mask_c = make_ctx_mask(ks, x)
             inner = jnp.abs(x[..., 0]) <= 1.0
-            lls = {}
-            for tag, mask_t in (("interp", inner), ("extrap", ~inner)):
-                batch = dict(
-                    X_cntxt=x, Y_cntxt=y, mask_cntxt=mask_c,
-                    X_trgt=x, Y_trgt=y, mask_trgt=mask_t,
-                )
-                out, _ = trainer._apply(
-                    state.params, state.extra_vars, batch, kl1, train=False
-                )
-                nll = trainer.eval_criterion(
-                    out, batch["Y_trgt"], batch["mask_trgt"], train=False
-                )
-                lls[tag] = -nll
+            # ONE forward over all targets, scored twice with the two masks:
+            # halves the eval for deterministic models and keeps the q_zCct
+            # latent conditioning identical across the interp/extrap rows
+            batch = dict(
+                X_cntxt=x, Y_cntxt=y, mask_cntxt=mask_c,
+                X_trgt=x, Y_trgt=y,
+                mask_trgt=jnp.ones_like(inner),
+            )
+            out, _ = trainer._apply(
+                state.params, state.extra_vars, batch, kl, train=False
+            )
+            lls = {
+                tag: -trainer.eval_criterion(out, y, mask_t, train=False)
+                for tag, mask_t in (("interp", inner), ("extrap", ~inner))
+            }
             return lls["interp"], lls["extrap"]
 
         li, le = [], []
@@ -213,7 +220,8 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    with open(f"results/extrapolation_{args.kernel}.json", "w") as f:
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, f"extrapolation_{args.kernel}.json"), "w") as f:
         json.dump(rows, f, indent=2)
 
 

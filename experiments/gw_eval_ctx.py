@@ -34,15 +34,18 @@ FLAGSHIP = "results/GW_time_cond_film_ctx64/ConvCNP/run_0"
 PALETTE = ["#2a78d6", "#eb6834", "#1baf7a", "#eda100"]  # fixed categorical order
 
 
-def plot(run_dirs, out="results/viz/gw_ctx_sweep.png"):
+def plot(run_dirs, out="results/viz/gw_ctx_sweep.png", fixed=False):
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    name = "ctx_sweep_fixed.json" if fixed else "ctx_sweep.json"
+    if fixed:
+        out = out.replace(".png", "_fixed.png")
     fig, axes = plt.subplots(1, 2, figsize=(9.5, 3.6), sharex=True)
     for (rd, color) in zip(run_dirs, PALETTE):
-        rows = json.load(open(os.path.join(rd, "ctx_sweep.json")))
+        rows = json.load(open(os.path.join(rd, name)))
         label = os.path.basename(os.path.dirname(os.path.dirname(rd.rstrip("/"))))
         label = label.replace("GW_time_cond_film_", "")
         ctx = [r["n_context"] for r in rows]
@@ -93,7 +96,7 @@ def main():
                     help="overlay saved ctx_sweep.json files into one figure")
     args = ap.parse_args()
     if args.plot:
-        plot(args.run_dir)
+        plot(args.run_dir, fixed=args.fixed)
         return
     args.run_dir = args.run_dir[0]
 

@@ -32,39 +32,13 @@ import jax.numpy as jnp
 
 
 def profile(batch_size, n_points=256, n_inner=50, n_chunks=4):
-    from npf_gwwaveform_tpu import ConvCNP
-    from npf_gwwaveform_tpu.data import (
-        CntxtTrgtSplitter,
-        GetRandomIndcs,
-        GWParameterSpace,
-        GWWaveformGenerator,
-        get_all_indcs,
-    )
-    from npf_gwwaveform_tpu.losses import CNPFLoss
-    from npf_gwwaveform_tpu.training import Trainer, create_train_state, make_optimizer
+    from experiments._flagship import build_flagship
+    from npf_gwwaveform_tpu.training import create_train_state
 
-    gen = GWWaveformGenerator(duration=1.0, sample_rate=1024.0)
-    space = GWParameterSpace()
-    model = ConvCNP(
-        y_dim=1, x_dim=1, r_dim=128, density_induced=64,
-        cnn_n_blocks=5, cnn_kernel_size=19, dtype=jnp.bfloat16,
+    fl = build_flagship(batch_size, n_points=n_points)
+    model, splitter, tx, trainer, make_batch = (
+        fl["model"], fl["splitter"], fl["tx"], fl["trainer"], fl["make_batch"]
     )
-    splitter = CntxtTrgtSplitter(
-        contexts_getter=GetRandomIndcs(a=0.0, b=64),
-        targets_getter=get_all_indcs,
-    )
-    tx = make_optimizer(lr=1e-3, decay_lr=None)
-    trainer = Trainer(model, CNPFLoss(), tx, splitter=splitter)
-
-    stride = gen.n_time // n_points
-    x_grid = jnp.linspace(-1.0, 1.0, n_points)
-
-    def make_batch(key):
-        theta = space.sample(key, batch_size)
-        _, h = gen.time_domain(theta)
-        h = h[..., -n_points * stride :: stride][..., :n_points]
-        x = jnp.broadcast_to(x_grid[None, :, None], (batch_size, n_points, 1))
-        return x, h[..., None]
 
     key = jax.random.PRNGKey(0)
     x0, y0 = jax.jit(make_batch)(key)

@@ -277,13 +277,15 @@ def main():
             s, m = trainer._train_step(state, x, y)
         return s, m["loss"]
 
-    inner = 50
+    # small --steps (smoke runs) still train: shrink the dispatch chunk
+    # rather than silently skipping the whole training block
+    inner = max(1, min(50, args.steps))
 
     @jax.jit
     def run_chunk(state, key):
         return jax.lax.scan(one_step, state, jax.random.split(key, inner))
 
-    n_chunks = 0 if args.eval_only else args.steps // inner
+    n_chunks = 0 if args.eval_only else max(1, args.steps // inner)
     hist = []
     train_time = float("nan")
     if n_chunks:
@@ -415,11 +417,15 @@ def main():
     os.makedirs(run_dir, exist_ok=True)
     if args.eval_only:
         # merge new metric keys into the frozen run's summary, preserving
-        # its training fields (train_wf_per_sec, steps, ...)
+        # its training-time fields: `steps` does not enter the run-dir tag,
+        # so a rescore invoked without repeating --steps must NOT overwrite
+        # the recorded training length (nor the recorded throughput)
         with open(os.path.join(run_dir, "summary.json")) as f:
             old = json.load(f)
+        train_fields = {"steps", "train_wf_per_sec"}
         summary = {**old, **{k: v for k, v in summary.items()
-                             if not (isinstance(v, float) and np.isnan(v))}}
+                             if k not in train_fields
+                             and not (isinstance(v, float) and np.isnan(v))}}
     np.savetxt(os.path.join(run_dir, "eval.csv"), -nlls, delimiter=",")
     if not args.eval_only:
         from npf_gwwaveform_tpu.training import write_history, write_model_summary

@@ -122,15 +122,16 @@ def test_gw_tail_analysis(gw_smoke_run):
     assert "chirp_mass_tail_median" in out
 
 
-def test_eval_extrapolation_oracle_and_cnp():
+def test_eval_extrapolation_oracle_and_cnp(tmp_path):
     """The extrapolation scorer's oracle row (masked exact-GP posterior,
     big-diagonal trick) and a frozen-checkpoint model row both produce
     finite interp/extrap LLs with the right ordering (oracle >= model on
     interpolation; everything's extrapolation LL is far below its
-    interpolation LL at 2x range)."""
+    interpolation LL at 2x range). --out tmp_path: smoke numbers must
+    never clobber the checked-in full-protocol artifact."""
     r = run([
         "experiments/eval_extrapolation.py", "--models", "oracle,CNP",
-        "--n-test", "256", "--n-points", "64",
+        "--n-test", "256", "--n-points", "64", "--out", str(tmp_path),
     ], timeout=420)
     rows = [json.loads(l) for l in r.stdout.strip().splitlines()
             if l.startswith("{")]
