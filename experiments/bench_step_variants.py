@@ -44,6 +44,28 @@ def time_fn(fn, *args, n_rep=50):
     return (time.perf_counter() - t0) / n_rep
 
 
+def time_op_scanned(fn, key, n_inner=200, n_chunks=3):
+    """Per-op timing via a lax.scan of n_inner iterations inside ONE jit:
+    per-dispatch timing through the tunnel costs ~250us/call, which
+    equalizes every sub-ms variant (the original mask rows all 'measured'
+    ~260us identical). The summed output keeps each iteration live."""
+    @jax.jit
+    def run(key):
+        def body(c, k):
+            return c + jnp.sum(fn(k)), None
+        out, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.int32), jax.random.split(key, n_inner)
+        )
+        return out
+
+    jax.block_until_ready(run(key))
+    t0 = time.perf_counter()
+    for i in range(n_chunks):
+        out = run(jax.random.fold_in(key, i))
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / (n_chunks * n_inner)
+
+
 # ------------------------------------------------------------ mask variants
 
 
@@ -189,14 +211,16 @@ def main():
             ("topk_threshold", mask_topk_threshold),
             ("topk_scatter", mask_topk_scatter),
         ):
-            f = jax.jit(lambda k, fn=fn, B=B, N=N: fn(k, B, N, 0, 64))
             # correctness gate: the selected count must equal the drawn n
             # (same key => same n across variants; double_argsort is the
             # incumbent ground truth)
             m_ref = mask_double_argsort(jax.random.PRNGKey(9), B, N, 0, 64)
             m_new = fn(jax.random.PRNGKey(9), B, N, 0, 64)
             assert int(m_new.sum()) == int(m_ref.sum()), (name, B, N)
-            dt = time_fn(f, jax.random.PRNGKey(0), n_rep=200)
+            dt = time_op_scanned(
+                lambda k, fn=fn, B=B, N=N: fn(k, B, N, 0, 64),
+                jax.random.PRNGKey(0),
+            )
             row = {"bench": "mask", "variant": name, "B": B, "N": N,
                    "us": round(dt * 1e6, 1)}
             rows.append(row)
