@@ -75,7 +75,8 @@ def print_zsmms(bars):
     generalize = ConvCNP 1253 / ConvLNP 3890; collapse = CNP -58552 /
     AttnCNP -309088)."""
     ref = {"GridConvCNP": "ConvCNP", "GridConvLNP": "ConvLNP",
-           "CNP": "CNP", "AttnCNP": "AttnCNP"}
+           "CNP": "CNP", "LNP": "LNP", "AttnCNP": "AttnCNP",
+           "AttnLNP": "AttnLNP"}
     rows = []
     for ours_name, ref_name in ref.items():
         rec = load_recorded_path(f"{REF_ROOT}/zsmms/{ref_name}/run_0/eval.csv")
@@ -91,6 +92,31 @@ def print_zsmms(bars):
     for m, rec, bar, ours in rows:
         f = lambda v: f"{v:12.1f}" if v is not None else "           —"
         print(f"{m:14s} {f(rec)} {f(bar)} {f(ours)}")
+
+
+def print_digits():
+    """In-painting table on the offline digits corpus, full 6-model family
+    (the reference's mnist table counterpart; recorded column = its MNIST
+    numbers, shown as an ORDERING anchor only — the corpora differ, so
+    absolute values are not comparable)."""
+    ref = {"CNP": "CNP", "LNP": "LNP", "AttnCNP": "AttnCNP",
+           "AttnLNP": "AttnLNP", "GridConvCNP": "ConvCNP",
+           "GridConvLNP": "ConvLNP"}
+    rows = []
+    for ours_name, ref_name in ref.items():
+        rec = load_recorded_path(f"{REF_ROOT}/mnist/{ref_name}/run_0/eval.csv")
+        ours, meta = load_ours("digits", ours_name)
+        if ours is None:
+            continue
+        rows.append((ours_name, rec, ours))
+    if not rows:
+        return
+    print("\ndigits in-painting (LL/image; 'ref mnist' = the reference's "
+          "recorded MNIST numbers, ordering anchor only — different corpus):")
+    print(f"{'model':14s} {'ref mnist':>12s} {'ours (digits)':>14s}")
+    for m, rec, ours in rows:
+        f = lambda v, w=12: f"{v:{w}.1f}" if v is not None else " " * (w - 1) + "—"
+        print(f"{m:14s} {f(rec)} {f(ours, 14)}")
 
 
 def print_ablation(markdown=False):
@@ -238,6 +264,7 @@ def main():
         )
         print_ablation()
         print_zsmms(bars)
+        print_digits()
         print_gw()
 
 
