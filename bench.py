@@ -58,6 +58,7 @@ def measure(
     density_induced=64,
     remat=False,
     banded=False,
+    fused_mlp=False,
 ):
     """Train-throughput measurement of the flagship config. Returns a dict
     with waveforms/sec/chip, per-step FLOPs (XLA cost analysis of ONE
@@ -86,6 +87,7 @@ def measure(
         cnn_kernel_size=19,
         cnn_remat=remat,
         cnn_banded=banded,
+        fused_mlp=fused_mlp,
         dtype=jnp.bfloat16,
         use_pallas_setconv=use_pallas,
     )
@@ -153,6 +155,7 @@ def measure(
         "use_pallas_setconv": use_pallas,
         **({"remat": True} if remat else {}),
         **({"banded": True} if banded else {}),
+        **({"fused_mlp": True} if fused_mlp else {}),
         "waveforms_per_sec_per_chip": round(wf_per_sec, 2),
         "flops_per_step": flops_step,
         "tflops_per_sec": round(flops_per_sec / 1e12, 2),

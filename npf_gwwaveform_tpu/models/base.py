@@ -74,6 +74,10 @@ class NeuralProcessFamily(nn.Module):
     cond_dim: int = 0
     cond_mode: str = "add"
     dtype: Optional[jnp.dtype] = None
+    # fuse the default decoder's MLP chain into one Pallas kernel
+    # (ops/pallas/mlp_chain_kernel.py): no inter-layer HBM round trips.
+    # Param tree unchanged — checkpoints interchange with the XLA path.
+    fused_mlp: bool = False
 
     # ------------------------------------------------------------- plumbing
 
@@ -105,7 +109,8 @@ class NeuralProcessFamily(nn.Module):
 
     def _sub_decoder_factory(self):
         return lambda n_out, **kw: MLP(
-            n_out, n_hidden_layers=4, hidden_size=self.r_dim, dtype=self.dtype, **kw
+            n_out, n_hidden_layers=4, hidden_size=self.r_dim, dtype=self.dtype,
+            fused=self.fused_mlp, **kw
         )
 
     def _default_decoder(self):

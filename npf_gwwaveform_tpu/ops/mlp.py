@@ -19,6 +19,24 @@ import jax.numpy as jnp
 from ..utils import init as winit
 
 
+class _DenseParams(nn.Module):
+    """Declare exactly nn.Dense's param tree ({kernel, bias}) without running
+    its compute — the fused-kernel path reads the params and computes in one
+    pallas_call, so checkpoints are interchangeable with the Dense path
+    (same pattern as ops/cnn.py _BandedDepthwise)."""
+
+    features: int
+    kernel_init: Callable
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", self.kernel_init, (in_features, self.features))
+        b = (self.param("bias", winit.zeros, (self.features,))
+             if self.use_bias else None)
+        return k, b
+
+
 def _clamp_hidden(hidden_size, input_size, output_size, is_force_hid_smaller):
     if is_force_hid_smaller and hidden_size > max(output_size, input_size):
         return max(output_size, input_size)
@@ -44,6 +62,11 @@ class MLP(nn.Module):
     is_force_hid_smaller: bool = False
     is_res: bool = False
     dtype: Optional[jnp.dtype] = None
+    # run the whole chain in one fused Pallas kernel (weights VMEM-resident,
+    # no inter-layer HBM round trips — ops/pallas/mlp_chain_kernel.py).
+    # Requires dropout == 0, relu activation, n_hidden_layers >= 2; param
+    # tree is identical to the Dense path, so checkpoints interchange.
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
@@ -52,6 +75,27 @@ class MLP(nn.Module):
             self.hidden_size, input_size, self.output_size, self.is_force_hid_smaller
         )
         hid_init = winit.linear_init_for(self.activation)
+
+        if (self.fused and self.dropout == 0 and self.n_hidden_layers >= 2
+                and self.activation is nn.relu):
+            from .pallas.mlp_chain_kernel import fused_relu_mlp
+
+            w0, b0 = _DenseParams(
+                hidden_size, hid_init, self.is_bias, name="to_hidden"
+            )(input_size)
+            whs, bhs = zip(*[
+                _DenseParams(hidden_size, hid_init, self.is_bias,
+                             name=f"linear_{i}")(hidden_size)
+                for i in range(self.n_hidden_layers - 1)
+            ])
+            wout, bout = _DenseParams(
+                self.output_size, winit.mlp_out_init, self.is_bias, name="out"
+            )(hidden_size)
+            return fused_relu_mlp(
+                x, w0, b0, jnp.stack(whs),
+                None if bhs[0] is None else jnp.stack(bhs), wout, bout,
+                is_res=self.is_res, compute_dtype=self.dtype or x.dtype,
+            )
 
         def dense(features, kernel_init, name):
             return nn.Dense(
