@@ -76,24 +76,30 @@ class MLP(nn.Module):
         )
         hid_init = winit.linear_init_for(self.activation)
 
-        if (self.fused and self.dropout == 0 and self.n_hidden_layers >= 2
+        if (self.fused and self.dropout == 0 and self.n_hidden_layers >= 1
                 and self.activation is nn.relu):
             from .pallas.mlp_chain_kernel import fused_relu_mlp
 
             w0, b0 = _DenseParams(
                 hidden_size, hid_init, self.is_bias, name="to_hidden"
             )(input_size)
-            whs, bhs = zip(*[
+            pairs = [
                 _DenseParams(hidden_size, hid_init, self.is_bias,
                              name=f"linear_{i}")(hidden_size)
                 for i in range(self.n_hidden_layers - 1)
-            ])
+            ]
+            if pairs:
+                whs = jnp.stack([w for w, _ in pairs])
+                bhs = (None if pairs[0][1] is None
+                       else jnp.stack([b for _, b in pairs]))
+            else:
+                whs = jnp.zeros((0, hidden_size, hidden_size), jnp.float32)
+                bhs = jnp.zeros((0, hidden_size), jnp.float32)
             wout, bout = _DenseParams(
                 self.output_size, winit.mlp_out_init, self.is_bias, name="out"
             )(hidden_size)
             return fused_relu_mlp(
-                x, w0, b0, jnp.stack(whs),
-                None if bhs[0] is None else jnp.stack(bhs), wout, bout,
+                x, w0, b0, whs, bhs, wout, bout,
                 is_res=self.is_res, compute_dtype=self.dtype or x.dtype,
             )
 

@@ -73,7 +73,8 @@ def _bwd_kernel(x_ref, g_ref, w0_ref, b0_ref, wh_ref, bh_ref, wout_ref,
     @pl.when(pl.program_id(0) == 0)
     def _init():
         for ref in (dw0_ref, db0_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref):
-            ref[:] = jnp.zeros(ref.shape, ref.dtype)
+            if ref is not None:
+                ref[:] = jnp.zeros(ref.shape, ref.dtype)
 
     x = x_ref[:]
     # forward recompute, keeping layer inputs a_i and relu outputs r_i
@@ -130,9 +131,20 @@ def _fwd_impl(x, w0, b0, wh, bh, wout, bout, is_res, cdtype):
     H = w0.shape[1]
     L1, O = wh.shape[0], wout.shape[1]
     TM = _tile_m(M)
-    kern = functools.partial(_fwd_kernel, n_hid=L1, is_res=is_res,
-                             cdtype=cdtype)
     const = lambda i: (0, 0)
+    if L1:
+        kern = functools.partial(_fwd_kernel, n_hid=L1, is_res=is_res,
+                                 cdtype=cdtype)
+        hid_specs = [pl.BlockSpec((L1, H, H), lambda i: (0, 0, 0)),
+                     pl.BlockSpec((L1, H), const)]
+        hid_args = [wh.astype(cdtype), bh.astype(cdtype)]
+    else:
+        # n_hidden_layers == 1: to_hidden -> relu -> out only
+        def kern(x_ref, w0_ref, b0_ref, wout_ref, bout_ref, out_ref):
+            _fwd_kernel(x_ref, w0_ref, b0_ref, None, None, wout_ref,
+                        bout_ref, out_ref, n_hid=0, is_res=is_res,
+                        cdtype=cdtype)
+        hid_specs, hid_args = [], []
     return pl.pallas_call(
         kern,
         grid=(M // TM,),
@@ -140,8 +152,7 @@ def _fwd_impl(x, w0, b0, wh, bh, wout, bout, is_res, cdtype):
             pl.BlockSpec((TM, C), lambda i: (i, 0)),
             pl.BlockSpec((C, H), const),
             pl.BlockSpec((1, H), const),
-            pl.BlockSpec((L1, H, H), lambda i: (0, 0, 0)),
-            pl.BlockSpec((L1, H), const),
+            *hid_specs,
             pl.BlockSpec((H, O), const),
             pl.BlockSpec((1, O), const),
         ],
@@ -149,8 +160,7 @@ def _fwd_impl(x, w0, b0, wh, bh, wout, bout, is_res, cdtype):
         out_shape=jax.ShapeDtypeStruct((M, O), cdtype),
         interpret=_interpret(),
     )(x.astype(cdtype), w0.astype(cdtype), b0.astype(cdtype),
-      wh.astype(cdtype), bh.astype(cdtype), wout.astype(cdtype),
-      bout.astype(cdtype))
+      *hid_args, wout.astype(cdtype), bout.astype(cdtype))
 
 
 def _bwd_impl(x, g, w0, b0, wh, bh, wout, is_res, cdtype):
@@ -158,11 +168,25 @@ def _bwd_impl(x, g, w0, b0, wh, bh, wout, is_res, cdtype):
     H = w0.shape[1]
     L1, O = wh.shape[0], wout.shape[1]
     TM = _tile_m(M)
-    kern = functools.partial(_bwd_kernel, n_hid=L1, is_res=is_res,
-                             cdtype=cdtype)
     const = lambda i: (0, 0)
     f32 = jnp.float32
-    return pl.pallas_call(
+    if L1:
+        kern = functools.partial(_bwd_kernel, n_hid=L1, is_res=is_res,
+                                 cdtype=cdtype)
+        hid_specs = [pl.BlockSpec((L1, H, H), lambda i: (0, 0, 0)),
+                     pl.BlockSpec((L1, H), const)]
+        hid_args = [wh.astype(cdtype), bh.astype(cdtype)]
+        dhid_specs = list(hid_specs)
+        dhid_shapes = [jax.ShapeDtypeStruct((L1, H, H), f32),
+                       jax.ShapeDtypeStruct((L1, H), f32)]
+    else:
+        def kern(x_ref, g_ref, w0_ref, b0_ref, wout_ref, dx_ref, dw0_ref,
+                 db0_ref, dwout_ref, dbout_ref):
+            _bwd_kernel(x_ref, g_ref, w0_ref, b0_ref, None, None, wout_ref,
+                        dx_ref, dw0_ref, db0_ref, None, None, dwout_ref,
+                        dbout_ref, n_hid=0, is_res=is_res, cdtype=cdtype)
+        hid_specs, hid_args, dhid_specs, dhid_shapes = [], [], [], []
+    out = pl.pallas_call(
         kern,
         grid=(M // TM,),
         in_specs=[
@@ -170,16 +194,14 @@ def _bwd_impl(x, g, w0, b0, wh, bh, wout, is_res, cdtype):
             pl.BlockSpec((TM, O), lambda i: (i, 0)),
             pl.BlockSpec((C, H), const),
             pl.BlockSpec((1, H), const),
-            pl.BlockSpec((L1, H, H), lambda i: (0, 0, 0)),
-            pl.BlockSpec((L1, H), const),
+            *hid_specs,
             pl.BlockSpec((H, O), const),
         ],
         out_specs=[
             pl.BlockSpec((TM, C), lambda i: (i, 0)),
             pl.BlockSpec((C, H), const),
             pl.BlockSpec((1, H), const),
-            pl.BlockSpec((L1, H, H), lambda i: (0, 0, 0)),
-            pl.BlockSpec((L1, H), const),
+            *dhid_specs,
             pl.BlockSpec((H, O), const),
             pl.BlockSpec((1, O), const),
         ],
@@ -187,15 +209,19 @@ def _bwd_impl(x, g, w0, b0, wh, bh, wout, is_res, cdtype):
             jax.ShapeDtypeStruct((M, C), x.dtype),
             jax.ShapeDtypeStruct((C, H), f32),
             jax.ShapeDtypeStruct((1, H), f32),
-            jax.ShapeDtypeStruct((L1, H, H), f32),
-            jax.ShapeDtypeStruct((L1, H), f32),
+            *dhid_shapes,
             jax.ShapeDtypeStruct((H, O), f32),
             jax.ShapeDtypeStruct((1, O), f32),
         ],
         interpret=_interpret(),
     )(x.astype(cdtype), g.astype(cdtype), w0.astype(cdtype),
-      b0.astype(cdtype), wh.astype(cdtype), bh.astype(cdtype),
-      wout.astype(cdtype))
+      b0.astype(cdtype), *hid_args, wout.astype(cdtype))
+    if not L1:
+        dx, dw0, db0, dwout, dbout = out
+        zhw = jnp.zeros((0, H, H), f32)
+        zhb = jnp.zeros((0, H), f32)
+        return dx, dw0, db0, zhw, zhb, dwout, dbout
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
@@ -224,7 +250,7 @@ def fused_relu_mlp(x, w0, b0, wh, bh, wout, bout, *, is_res=False,
                    compute_dtype=jnp.float32):
     """Run the full relu MLP chain in one fused kernel.
 
-    x [..., C]; w0 [C, H], b0 [H]; wh [L1, H, H], bh [L1, H] (L1 >= 1 hidden
+    x [..., C]; w0 [C, H], b0 [H]; wh [L1, H, H], bh [L1, H] (L1 >= 0 hidden
     layers beyond to_hidden); wout [H, O], bout [O]. Returns [..., O] in
     `compute_dtype`. Biases may be None (treated as zero). Arbitrary dims —
     zero-padded to hardware tiles internally.
@@ -232,7 +258,6 @@ def fused_relu_mlp(x, w0, b0, wh, bh, wout, bout, *, is_res=False,
     C = x.shape[-1]
     H = w0.shape[1]
     L1, O = wh.shape[0], wout.shape[1]
-    assert L1 >= 1, "fused path needs n_hidden_layers >= 2"
     lead = x.shape[:-1]
     M = 1
     for d in lead:

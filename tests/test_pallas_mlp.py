@@ -30,6 +30,10 @@ CONFIGS = [
     # residual variant
     dict(output_size=6, hidden_size=64, n_hidden_layers=4, in_dim=64,
          lead=(3, 17), is_res=True),
+    # n_hidden_layers == 1 (x-encoder / latent-encoder / resizer shape):
+    # to_hidden -> relu -> out only
+    dict(output_size=128, hidden_size=128, n_hidden_layers=1, in_dim=1,
+         lead=(2, 40)),
 ]
 
 
