@@ -52,16 +52,22 @@ def _round_up(x, m):
 
 def _fwd_kernel(x_ref, w0_ref, b0_ref, wh_ref, bh_ref, wout_ref, bout_ref,
                 out_ref, *, n_hid: int, is_res: bool, cdtype):
-    """One row tile through the whole chain; weights are full-array blocks."""
+    """One row tile through the whole chain; weights are full-array blocks.
+
+    relu/compare runs in f32 (the dot outputs are f32 already): Mosaic on
+    v5e rejects cmpf on packed bf16 vectors ("Target does not support this
+    comparison"), and max(x,0) commutes with the bf16 downcast exactly.
+    """
+    f32 = jnp.float32
     a = x_ref[:]
-    h = jnp.dot(a, w0_ref[:], preferred_element_type=jnp.float32)
-    a = jnp.maximum(h.astype(cdtype) + b0_ref[:].astype(cdtype), 0)
+    h = jnp.dot(a, w0_ref[:], preferred_element_type=f32)
+    a = jnp.maximum(h + b0_ref[:].astype(f32), 0).astype(cdtype)
     for i in range(n_hid):
-        h = jnp.dot(a, wh_ref[i], preferred_element_type=jnp.float32)
-        r = jnp.maximum(h.astype(cdtype) + bh_ref[i][None, :].astype(cdtype), 0)
+        h = jnp.dot(a, wh_ref[i], preferred_element_type=f32)
+        r = jnp.maximum(h + bh_ref[i][None, :].astype(f32), 0).astype(cdtype)
         a = r + a if is_res else r
-    h = jnp.dot(a, wout_ref[:], preferred_element_type=jnp.float32)
-    out_ref[:] = h.astype(cdtype) + bout_ref[:].astype(cdtype)
+    h = jnp.dot(a, wout_ref[:], preferred_element_type=f32)
+    out_ref[:] = (h + bout_ref[:].astype(f32)).astype(cdtype)
 
 
 def _bwd_kernel(x_ref, g_ref, w0_ref, b0_ref, wh_ref, bh_ref, wout_ref,
@@ -76,17 +82,23 @@ def _bwd_kernel(x_ref, g_ref, w0_ref, b0_ref, wh_ref, bh_ref, wout_ref,
             if ref is not None:
                 ref[:] = jnp.zeros(ref.shape, ref.dtype)
 
+    f32 = jnp.float32
     x = x_ref[:]
-    # forward recompute, keeping layer inputs a_i and relu outputs r_i
-    h = jnp.dot(x, w0_ref[:], preferred_element_type=jnp.float32)
-    r = jnp.maximum(h.astype(cdtype) + b0_ref[:].astype(cdtype), 0)
+    # forward recompute, keeping layer inputs a_i and relu masks m_i.
+    # Comparisons run on the f32 pre-activations (bf16 cmpf is unsupported
+    # on v5e Mosaic); masks are materialized as 0/1 in cdtype via select.
+    h = jnp.dot(x, w0_ref[:], preferred_element_type=f32)
+    h = h + b0_ref[:].astype(f32)
+    m = jnp.where(h > 0, 1.0, 0.0).astype(cdtype)
+    r = jnp.maximum(h, 0).astype(cdtype)
     acts = [r]  # a_1 == r_0 (no residual on the first layer, mlp.py:66-70)
-    rs = [r]
+    masks = [m]
     a = r
     for i in range(n_hid):
-        h = jnp.dot(a, wh_ref[i], preferred_element_type=jnp.float32)
-        r = jnp.maximum(h.astype(cdtype) + bh_ref[i][None, :].astype(cdtype), 0)
-        rs.append(r)
+        h = jnp.dot(a, wh_ref[i], preferred_element_type=f32)
+        h = h + bh_ref[i][None, :].astype(f32)
+        masks.append(jnp.where(h > 0, 1.0, 0.0).astype(cdtype))
+        r = jnp.maximum(h, 0).astype(cdtype)
         a = r + a if is_res else r
         acts.append(a)
 
@@ -101,7 +113,7 @@ def _bwd_kernel(x_ref, g_ref, w0_ref, b0_ref, wh_ref, bh_ref, wout_ref,
         preferred_element_type=jnp.float32).astype(cdtype)
 
     for i in range(n_hid - 1, -1, -1):
-        gpre = g * (rs[i + 1] > 0).astype(cdtype)
+        gpre = g * masks[i + 1]
         dwh_ref[i] += jax.lax.dot_general(
             acts[i], gpre, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -111,7 +123,7 @@ def _bwd_kernel(x_ref, g_ref, w0_ref, b0_ref, wh_ref, bh_ref, wout_ref,
             preferred_element_type=jnp.float32).astype(cdtype)
         g = gnext + g if is_res else gnext
 
-    gpre = g * (rs[0] > 0).astype(cdtype)
+    gpre = g * masks[0]
     dw0_ref[:] += jax.lax.dot_general(
         x, gpre, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     db0_ref[:] += jnp.sum(gpre.astype(jnp.float32), axis=0, keepdims=True)
