@@ -1,6 +1,15 @@
-"""Fused Pallas TPU kernel for the relu MLP chain — the HBM lever on the
-step's largest compute block (fwd+bwd is ~70% of the fused train step,
-PROFILE_STEP.json).
+"""Fused Pallas TPU kernel for the relu MLP chain.
+
+MEASURED OUTCOME (v5e, flagship shapes — PROFILE_MODEL_STAGES.json +
+BENCH_DETAIL.json `variants`): this kernel LOSES to XLA's dense lowering
+at the NPF decoder's shapes (565 vs 336 us fwd+bwd at [65536, 128] x five
+128-wide layers; 111.1k vs 118.6k wf/s end-to-end). XLA already runs the
+dense chain at ~60% of HBM bandwidth with MXU pipelining across dots; the
+sequential row-tile grid here pays per-tile overhead on 167-MFLOP tiles
+plus a full forward recompute in the backward. Kept flag-gated
+(`MLP(fused=True)`, default off) as the shape-class probe — the win
+regime is wider/deeper chains where inter-layer HBM traffic dominates,
+not 128-wide NPF decoders.
 
 Why: the NPF decoders/encoders are chains of [M, 128] x [128, 128] matmuls
 (reference decoder: 4-hidden MLP, npf/neuralproc/base.py:157-175; ours
