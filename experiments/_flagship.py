@@ -14,6 +14,21 @@ import jax
 import jax.numpy as jnp
 
 
+def use_all(tree):
+    """Reduce a pytree to one scalar that depends on EVERY element.
+
+    Profiling stages must emit a value depending on all of their work or
+    XLA dead-code-eliminates the rest (an early profile script output one
+    grad-leaf element and "measured" a free backward pass — the whole
+    backprop to the other parameters was DCEd). Shared here so the DCE
+    guard can't drift between the profiling scripts."""
+    return jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.sum(jnp.square(b.astype(jnp.float32))),
+        tree,
+        jnp.float32(0.0),
+    )
+
+
 def build_flagship(batch_size, n_points=256, density_induced=64, n_context=64):
     from npf_gwwaveform_tpu import ConvCNP
     from npf_gwwaveform_tpu.data import (

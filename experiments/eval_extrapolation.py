@@ -63,7 +63,9 @@ def main():
     from experiments.reproduce_gp import build_model, criterion_for
     from npf_gwwaveform_tpu.data import CntxtTrgtSplitter, GetRandomIndcs, get_all_indcs
     from npf_gwwaveform_tpu.data.gp import KERNEL_CONFIGS, GPSampler
-    from npf_gwwaveform_tpu.training import Trainer, create_train_state, make_optimizer
+    from npf_gwwaveform_tpu.training import (
+        Trainer, create_train_state, load_run_params, make_optimizer,
+    )
 
     cfg = dict(KERNEL_CONFIGS[args.kernel])
     sampler = GPSampler(n_points=args.n_points, **cfg)
@@ -152,7 +154,11 @@ def main():
             continue
         model = build_model(name)
         if hasattr(model, "induced_range"):
-            model = model.clone(induced_range=(2.0 * -1.5, 2.0 * 1.5))
+            # scale the model's OWN induced range (not the default) so a
+            # non-default config still covers the 2x-wide target canvas
+            model = model.clone(
+                induced_range=tuple(2.0 * v for v in model.induced_range)
+            )
         criterion = criterion_for(name)
         tx = make_optimizer(lr=1e-3, decay_lr=None)
         splitter = CntxtTrgtSplitter(
@@ -164,18 +170,7 @@ def main():
         key = jax.random.PRNGKey(0)
         x0, y0 = sampler.sample(key, 16, min_max=wide)
         state = create_train_state(model, tx, splitter(key, x0, y0), seed=0)
-        with open(os.path.join(run_dir, "params.msgpack"), "rb") as f:
-            params = flax.serialization.from_bytes(
-                jax.device_get(state.params), f.read()
-            )
-        state = state.replace(params=jax.device_put(params))
-        extra_path = os.path.join(run_dir, "extra_vars.msgpack")
-        if os.path.exists(extra_path):
-            with open(extra_path, "rb") as f:
-                extra = flax.serialization.from_bytes(
-                    jax.device_get(state.extra_vars), f.read()
-                )
-            state = state.replace(extra_vars=jax.device_put(extra))
+        state = load_run_params(run_dir, state)
 
         bs = 256
 

@@ -114,7 +114,9 @@ def main():
     )
     from npf_gwwaveform_tpu.data.gw import mismatch
     from npf_gwwaveform_tpu.losses import CNPFLoss
-    from npf_gwwaveform_tpu.training import Trainer, create_train_state, make_optimizer
+    from npf_gwwaveform_tpu.training import (
+        Trainer, create_train_state, load_run_params, make_optimizer,
+    )
 
     with open(os.path.join(args.run_dir, "summary.json")) as f:
         summary = json.load(f)
@@ -169,16 +171,7 @@ def main():
         key, x0, y0, condition=space.normalize(th0) if conditioned else None
     )
     state = create_train_state(model, tx, ex, seed=0)
-    with open(os.path.join(args.run_dir, "params.msgpack"), "rb") as f:
-        params = flax.serialization.from_bytes(jax.device_get(state.params), f.read())
-    state = state.replace(params=jax.device_put(params))
-    extra_path = os.path.join(args.run_dir, "extra_vars.msgpack")
-    if os.path.exists(extra_path):
-        with open(extra_path, "rb") as f:
-            extra = flax.serialization.from_bytes(
-                jax.device_get(state.extra_vars), f.read()
-            )
-        state = state.replace(extra_vars=jax.device_put(extra))
+    state = load_run_params(args.run_dir, state)
 
     bs = 256
     rows = []

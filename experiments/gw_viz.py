@@ -56,7 +56,9 @@ def main():
     )
     from npf_gwwaveform_tpu.data.gw import mismatch
     from npf_gwwaveform_tpu.losses import CNPFLoss
-    from npf_gwwaveform_tpu.training import Trainer, create_train_state, make_optimizer
+    from npf_gwwaveform_tpu.training import (
+        Trainer, create_train_state, load_run_params, make_optimizer,
+    )
 
     with open(os.path.join(args.run_dir, "summary.json")) as f:
         summary = json.load(f)
@@ -126,16 +128,7 @@ def main():
     tx = make_optimizer(lr=1e-3, decay_lr=None)
     trainer = Trainer(model, CNPFLoss(), tx, splitter=splitter)
     state = create_train_state(model, tx, batch, seed=0)
-    with open(os.path.join(args.run_dir, "params.msgpack"), "rb") as f:
-        params = flax.serialization.from_bytes(jax.device_get(state.params), f.read())
-    state = state.replace(params=jax.device_put(params))
-    extra_path = os.path.join(args.run_dir, "extra_vars.msgpack")
-    if os.path.exists(extra_path):
-        with open(extra_path, "rb") as f:
-            extra = flax.serialization.from_bytes(
-                jax.device_get(state.extra_vars), f.read()
-            )
-        state = state.replace(extra_vars=jax.device_put(extra))
+    state = load_run_params(args.run_dir, state)
 
     out, _ = trainer._apply(
         state.params, state.extra_vars, batch, jax.random.PRNGKey(1), train=False

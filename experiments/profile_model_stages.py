@@ -30,12 +30,7 @@ import jax
 import jax.numpy as jnp
 
 
-def _use_all(tree):
-    return jax.tree_util.tree_reduce(
-        lambda a, b: a + jnp.sum(jnp.square(b.astype(jnp.float32))),
-        tree,
-        jnp.float32(0.0),
-    )
+from _flagship import use_all as _use_all  # DCE guard — see its docstring
 
 
 def _time_scan(fn, n_inner=50, n_chunks=4):

@@ -53,15 +53,8 @@ def profile(batch_size, n_points=256, n_inner=50, n_chunks=4):
 
     # each stage: scan n_inner iterations. Every stage must emit a value
     # that DEPENDS ON ALL of its work or XLA dead-code-eliminates the rest
-    # (first version of this script output one grad-leaf element and
-    # "measured" a free backward pass — the whole backprop to the other
-    # parameters was DCEd).
-    def _use_all(tree):
-        return jax.tree_util.tree_reduce(
-            lambda a, b: a + jnp.sum(jnp.square(b.astype(jnp.float32))),
-            tree,
-            jnp.float32(0.0),
-        )
+    # (the shared DCE guard lives in _flagship.use_all — see its docstring).
+    from _flagship import use_all as _use_all
 
     def stage_datagen(_, k):
         x, y = make_batch(k)

@@ -254,20 +254,9 @@ def main():
     run_dir = os.path.join(args.out, tag, args.model, f"run_{args.run}")
 
     if args.eval_only:
-        import flax.serialization
+        from npf_gwwaveform_tpu.training import load_run_params
 
-        with open(os.path.join(run_dir, "params.msgpack"), "rb") as f:
-            params = flax.serialization.from_bytes(
-                jax.device_get(state.params), f.read()
-            )
-        state = state.replace(params=jax.device_put(params))
-        extra_path = os.path.join(run_dir, "extra_vars.msgpack")
-        if os.path.exists(extra_path):
-            with open(extra_path, "rb") as f:
-                extra = flax.serialization.from_bytes(
-                    jax.device_get(state.extra_vars), f.read()
-                )
-            state = state.replace(extra_vars=jax.device_put(extra))
+        state = load_run_params(run_dir, state)
 
     def one_step(state, k):
         x, y, p = make_batch(k, args.batch)

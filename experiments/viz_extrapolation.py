@@ -63,7 +63,9 @@ def main():
         run_dir = os.path.join("results", "RBF_Kernel", name, "run_0")
         model = build_model(name)
         if hasattr(model, "induced_range"):
-            model = model.clone(induced_range=(-3.0, 3.0))
+            model = model.clone(
+                induced_range=tuple(2.0 * v for v in model.induced_range)
+            )
         variables = model.init(
             {"params": jax.random.PRNGKey(0), "latent": jax.random.PRNGKey(1)},
             batch["X_cntxt"], batch["Y_cntxt"], batch["X_trgt"],

@@ -110,11 +110,17 @@ class GetRandomIndcs:
         # O(N log^2 N) full-sort ranks — ~7x less split time at the
         # flagship shape (b=64 of N=256), bit-identical masks
         # (results/step_variants.json A/B; equality pinned in tests).
+        # ratio-or-absolute, clamped to the available points so a splitter
+        # configured for long functions (e.g. b=50) still works on shorter
+        # ones. One helper shared by the static bound and the dynamic draw
+        # so the two can't diverge.
+        def to_count(v):
+            c = int(v * n_points) if 0 <= v < 1 else int(v)
+            return max(0, min(c, n_points))
+
         static_ub = None
         if not self.is_beta_binomial and self.proba_uniform <= 0:
-            v = self.b
-            ub = int(v * n_points) if 0 <= v < 1 else int(v)
-            ub = max(0, min(ub, n_points))
+            ub = to_count(self.b)
             if self.is_ensure_one:
                 ub = max(ub, 1)
             if ub < n_points:
@@ -128,13 +134,6 @@ class GetRandomIndcs:
                 jax.random.uniform(kb, (n_points,)) < p
             )
         else:
-            # ratio-or-absolute, clamped to the available points so a
-            # splitter configured for long functions (e.g. b=50) still
-            # works on shorter ones
-            def to_count(v):
-                c = int(v * n_points) if 0 <= v < 1 else int(v)
-                return max(0, min(c, n_points))
-
             a, b = to_count(self.a), to_count(self.b)
             a = min(a, b)
             n_shape = (batch_size, 1) if self.is_indep_n else ()

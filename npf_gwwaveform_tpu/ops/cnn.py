@@ -63,13 +63,16 @@ class _BandedDepthwise(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         assert x.ndim == 3, "banded depthwise is 1-D only"
         n, c = x.shape[-2], x.shape[-1]
-        k, dil, half = self.kernel_size, self.dilation, self.kernel_size // 2
+        k, dil = self.kernel_size, self.dilation
         kernel = self.param("kernel", winit.kaiming_normal_fanout, (k, 1, c))
-        # XLA convs are cross-correlations: out[m] = sum_t x[m+(t-half)*dil]*w[t]
-        # => x[i] contributes to out[j] through tap t = (i-j)/dil + half
+        # XLA convs are cross-correlations with SAME pad_low = ((k-1)*dil)//2
+        # (asymmetric for even k): out[m] = sum_t x[m + t*dil - pad_low]*w[t]
+        # => x[i] contributes to out[j] through tap t = (i - j + pad_low)/dil
+        pad_low = ((k - 1) * dil) // 2
         diff = jnp.arange(n)[:, None] - jnp.arange(n)[None, :]
-        t = diff // dil + half
-        valid = (diff % dil == 0) & (t >= 0) & (t < k)
+        num = diff + pad_low
+        t = num // dil
+        valid = (num % dil == 0) & (t >= 0) & (t < k)
         t = jnp.clip(t, 0, k - 1)
         band = jnp.where(valid[..., None], kernel[:, 0, :][t], 0.0)  # [n,n,c]
         dt = self.dtype or x.dtype

@@ -64,7 +64,7 @@ class MLP(nn.Module):
     dtype: Optional[jnp.dtype] = None
     # run the whole chain in one fused Pallas kernel (weights VMEM-resident,
     # no inter-layer HBM round trips — ops/pallas/mlp_chain_kernel.py).
-    # Requires dropout == 0, relu activation, n_hidden_layers >= 2; param
+    # Requires dropout == 0, relu activation, n_hidden_layers >= 1; param
     # tree is identical to the Dense path, so checkpoints interchange.
     fused: bool = False
 

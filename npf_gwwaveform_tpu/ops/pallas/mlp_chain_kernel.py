@@ -31,7 +31,8 @@ numerics; dW is accumulated and returned in f32 (the param dtype).
 Semantics parity: exactly ops/mlp.py MLP.__call__ with dropout == 0 and
 activation == relu (the notebook-parity decoder/xy-encoder configs;
 reference mlp.py:95-109 order to_hidden -> act -> (linear -> act -> +res)*
--> out), for any n_hidden_layers >= 2. Non-aligned dims are zero-padded to
+-> out), for any n_hidden_layers >= 1 (at 1 there are no hidden-stack
+layers: to_hidden -> relu -> out). Non-aligned dims are zero-padded to
 lane/tile multiples (zero rows/cols are exact no-ops through relu chains).
 """
 

@@ -300,12 +300,15 @@ def test_banded_depthwise_matches_grouped_conv_with_dilation():
 
     key = jax.random.PRNGKey(3)
     x = jax.random.normal(key, (2, 24, 8))
-    for dil in (1, 2, 4):
-        a = DepthSepConv(8, 5, dilation=dil)
-        b = DepthSepConv(8, 5, dilation=dil, banded=True)
+    # Even kernel sizes exercise XLA's asymmetric SAME padding
+    # (pad_low = ((k-1)*dil)//2 != (k//2)*dil), which the band must mirror.
+    for k, dil in [(5, 1), (5, 2), (5, 4), (4, 1), (4, 2), (6, 3)]:
+        a = DepthSepConv(8, k, dilation=dil)
+        b = DepthSepConv(8, k, dilation=dil, banded=True)
         va = a.init(key, x)
         out_a = a.apply(va, x)
         out_b = b.apply(va, x)  # same params by construction
         np.testing.assert_allclose(
-            np.asarray(out_b), np.asarray(out_a), rtol=2e-5, atol=2e-6
+            np.asarray(out_b), np.asarray(out_a), rtol=2e-5, atol=2e-6,
+            err_msg=f"k={k} dil={dil}",
         )
