@@ -222,6 +222,37 @@ def test_train_models_harness(tmp_path):
     assert "RBF_tiny/CNP/run_0" in out
 
 
+def test_load_run_params_roundtrip(tmp_path):
+    """load_run_params (the scoring scripts' single hydration path) must
+    restore params + extra_vars written by a finished run into a fresh
+    template state."""
+    import flax.serialization
+
+    from npf_gwwaveform_tpu.training import load_run_params
+
+    ds = _gp_data(n=32)
+    model = CNP(y_dim=1, x_dim=1, r_dim=32)
+    tx = make_optimizer(lr=1e-3, decay_lr=None)
+    x, y = ds.get_samples()[0][:16], ds.get_samples()[1][:16]
+    batch = _splitter()(jax.random.PRNGKey(0), x, y)
+    trained = create_train_state(model, tx, batch, seed=0)
+    trainer = Trainer(model, CNPFLoss(), tx, splitter=_splitter())
+    trained, _ = trainer.train_step(trained, x, y)
+
+    run_dir = tmp_path / "run_0"
+    run_dir.mkdir()
+    with open(run_dir / "params.msgpack", "wb") as f:
+        f.write(flax.serialization.to_bytes(jax.device_get(trained.params)))
+
+    fresh = create_train_state(model, tx, batch, seed=1)  # different init
+    loaded = load_run_params(str(run_dir), fresh)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        jax.device_get(loaded.params),
+        jax.device_get(trained.params),
+    )
+
+
 def test_gw_cnp_end_to_end():
     """BASELINE.json config 1: CNP regressing h+(t) — a few steps must run
     and produce finite loss."""
