@@ -121,6 +121,12 @@ def main():
         "keys into the existing summary.json (used to rescore frozen runs "
         "when the eval protocol gains metrics, e.g. mismatch_zdraw_*)",
     )
+    ap.add_argument("--lr", type=float, default=1e-3,
+                    help="Adam peak LR (default matches the reference's 1e-3; "
+                    "small-batch long-waveform configs can need lower)")
+    ap.add_argument("--clip", type=float, default=None,
+                    help="grad-norm clip (default: 1.0 for ConvLNP like the "
+                    "reference's GradientNormClipping, else none)")
     ap.add_argument("--out", default="results/")
     ap.add_argument("--run", type=int, default=0,
                     help="run index (artifact dir run_{i}; reference layout)")
@@ -196,9 +202,13 @@ def main():
 
     steps_per_epoch = 1562
     tx = make_optimizer(
-        lr=1e-3, decay_lr=10.0, max_epochs=max(1, args.steps // steps_per_epoch),
+        lr=args.lr, decay_lr=10.0, max_epochs=max(1, args.steps // steps_per_epoch),
         steps_per_epoch=steps_per_epoch,
-        grad_clip_norm=1.0 if args.model == "ConvLNP" else None,
+        grad_clip_norm=(
+            args.clip
+            if args.clip is not None
+            else (1.0 if args.model == "ConvLNP" else None)
+        ),
     )
     trainer = Trainer(model, criterion, tx, splitter=splitter)
 
@@ -403,6 +413,10 @@ def main():
         summary["n_points"] = args.n_points
     if args.pallas:
         summary["use_pallas_setconv"] = True
+    if args.lr != 1e-3:
+        summary["lr"] = args.lr
+    if args.clip is not None:
+        summary["grad_clip_norm"] = args.clip
     os.makedirs(run_dir, exist_ok=True)
     if args.eval_only:
         # merge new metric keys into the frozen run's summary, preserving
