@@ -23,7 +23,6 @@ import os
 import time
 
 import jax
-import jax.numpy as jnp
 
 BASELINE_FNS_PER_SEC = 150.0
 
@@ -62,51 +61,31 @@ def measure(
 ):
     """Train-throughput measurement of the flagship config. Returns a dict
     with waveforms/sec/chip, per-step FLOPs (XLA cost analysis of ONE
-    compiled train step), and MFU when the chip's peak is known."""
-    from npf_gwwaveform_tpu import ConvCNP
-    from npf_gwwaveform_tpu.data import (
-        CntxtTrgtSplitter,
-        GetRandomIndcs,
-        GWParameterSpace,
-        GWWaveformGenerator,
-        get_all_indcs,
-    )
-    from npf_gwwaveform_tpu.losses import CNPFLoss
-    from npf_gwwaveform_tpu.training import Trainer, create_train_state, make_optimizer
+    compiled train step), and MFU when the chip's peak is known.
 
-    gen = GWWaveformGenerator(duration=duration, sample_rate=1024.0)
-    space = GWParameterSpace()
-    # bfloat16 compute (f32 params, f32 log-prob reductions): verified to
-    # track f32 convergence over 2k steps on this task, 6.4x faster on MXU
-    model = ConvCNP(
-        y_dim=1,
-        x_dim=1,
-        r_dim=128,
+    The workload construction (model/splitter/trainer/make_batch, bf16
+    compute with f32 params + f32 log-prob reductions) is shared with the
+    profiling scripts via experiments/_flagship.build_flagship — one
+    definition, so a config tweak can never leave this bench measuring a
+    stale workload."""
+    from experiments._flagship import build_flagship
+    from npf_gwwaveform_tpu.training import create_train_state
+
+    parts = build_flagship(
+        batch_size,
+        n_points=n_points,
         density_induced=density_induced,
-        cnn_n_blocks=5,
-        cnn_kernel_size=19,
-        cnn_remat=remat,
-        cnn_banded=banded,
+        n_context=n_context,
+        duration=duration,
+        use_pallas=use_pallas,
+        remat=remat,
+        banded=banded,
         fused_mlp=fused_mlp,
-        dtype=jnp.bfloat16,
-        use_pallas_setconv=use_pallas,
     )
-    splitter = CntxtTrgtSplitter(
-        contexts_getter=GetRandomIndcs(a=0.0, b=n_context),
-        targets_getter=get_all_indcs,
+    model, splitter, tx, trainer, make_batch = (
+        parts["model"], parts["splitter"], parts["tx"], parts["trainer"],
+        parts["make_batch"],
     )
-    tx = make_optimizer(lr=1e-3, decay_lr=None)
-    trainer = Trainer(model, CNPFLoss(), tx, splitter=splitter)
-
-    stride = gen.n_time // n_points
-    x_grid = jnp.linspace(-1.0, 1.0, n_points)
-
-    def make_batch(key):
-        theta = space.sample(key, batch_size)
-        _, h = gen.time_domain(theta)
-        h = h[..., -n_points * stride :: stride][..., :n_points]
-        x = jnp.broadcast_to(x_grid[None, :, None], (batch_size, n_points, 1))
-        return x, h[..., None]
 
     key = jax.random.PRNGKey(0)
     x, y = jax.jit(make_batch)(key)
@@ -193,12 +172,30 @@ def main():
             with open("BENCH_DETAIL.json") as f:
                 prev = json.load(f)
             # keep rows/sections this mode doesn't re-measure (e.g. the
-            # banded/variants A/B merged in by other runs)
+            # banded/variants A/B merged in by other runs). long_context
+            # rows are expensive (~hours); keep the old ones and REPLACE
+            # per-config as re-measurements land, so a wedged TPU claim
+            # mid-run never leaves the file emptier than it started.
+            detail["long_context"] = prev.get("long_context", [])
             for k, v in prev.items():
                 if k not in ("flagship", "sweep", "long_context"):
                     detail[k] = v
             if args.detail_fast:
                 detail["sweep"] = prev.get("sweep", [])
+
+        def put_long_context(r):
+            def cfg(row):
+                return (
+                    row.get("density_induced"),
+                    bool(row.get("use_pallas_setconv", row.get("use_pallas"))),
+                    bool(row.get("remat")),
+                    row.get("batch_size"),
+                    row.get("n_points"),
+                )
+
+            detail["long_context"] = [
+                row for row in detail["long_context"] if cfg(row) != cfg(r)
+            ] + [r]
 
         def flush():
             ok = [r for r in detail["sweep"] if "error" not in r]
@@ -253,7 +250,7 @@ def main():
                     density_induced=density,
                 )
                 r.setdefault("density_induced", density)
-                detail["long_context"].append(r)
+                put_long_context(r)
                 print(json.dumps(r), flush=True)
                 flush()
         # remat A/B at the largest long-context shape (XLA SetConv path):
@@ -268,7 +265,7 @@ def main():
             remat=True,
         )
         r.setdefault("density_induced", 2048)
-        detail["long_context"].append(r)
+        put_long_context(r)
         print(json.dumps(r), flush=True)
         flush()
         return

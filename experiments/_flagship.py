@@ -29,7 +29,17 @@ def use_all(tree):
     )
 
 
-def build_flagship(batch_size, n_points=256, density_induced=64, n_context=64):
+def build_flagship(
+    batch_size,
+    n_points=256,
+    density_induced=64,
+    n_context=64,
+    duration=1.0,
+    use_pallas=False,
+    remat=False,
+    banded=False,
+    fused_mlp=False,
+):
     from npf_gwwaveform_tpu import ConvCNP
     from npf_gwwaveform_tpu.data import (
         CntxtTrgtSplitter,
@@ -41,11 +51,13 @@ def build_flagship(batch_size, n_points=256, density_induced=64, n_context=64):
     from npf_gwwaveform_tpu.losses import CNPFLoss
     from npf_gwwaveform_tpu.training import Trainer, make_optimizer
 
-    gen = GWWaveformGenerator(duration=1.0, sample_rate=1024.0)
+    gen = GWWaveformGenerator(duration=duration, sample_rate=1024.0)
     space = GWParameterSpace()
     model = ConvCNP(
         y_dim=1, x_dim=1, r_dim=128, density_induced=density_induced,
         cnn_n_blocks=5, cnn_kernel_size=19, dtype=jnp.bfloat16,
+        use_pallas_setconv=use_pallas, cnn_remat=remat, cnn_banded=banded,
+        fused_mlp=fused_mlp,
     )
     splitter = CntxtTrgtSplitter(
         contexts_getter=GetRandomIndcs(a=0.0, b=n_context),

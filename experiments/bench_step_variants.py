@@ -136,43 +136,18 @@ def mask_topk_scatter(key, B, N, a, b):
 
 
 def build_step(batch_size, barrier: bool, n_points=256, n_context=64):
-    from npf_gwwaveform_tpu import ConvCNP
-    from npf_gwwaveform_tpu.data import (
-        CntxtTrgtSplitter,
-        GetRandomIndcs,
-        GWParameterSpace,
-        GWWaveformGenerator,
-        get_all_indcs,
-    )
-    from npf_gwwaveform_tpu.losses import CNPFLoss
-    from npf_gwwaveform_tpu.training import (
-        Trainer,
-        create_train_state,
-        make_optimizer,
-    )
+    # workload construction shared with bench.py / the profilers — see
+    # _flagship.build_flagship's docstring (config drift guard)
+    from _flagship import build_flagship
+    from npf_gwwaveform_tpu.training import create_train_state
 
-    gen = GWWaveformGenerator(duration=1.0, sample_rate=1024.0)
-    space = GWParameterSpace()
-    model = ConvCNP(
-        y_dim=1, x_dim=1, r_dim=128, density_induced=64,
-        cnn_n_blocks=5, cnn_kernel_size=19, dtype=jnp.bfloat16,
+    parts = build_flagship(
+        batch_size, n_points=n_points, n_context=n_context
     )
-    splitter = CntxtTrgtSplitter(
-        contexts_getter=GetRandomIndcs(a=0.0, b=n_context),
-        targets_getter=get_all_indcs,
+    model, splitter, tx, trainer, make_batch = (
+        parts["model"], parts["splitter"], parts["tx"], parts["trainer"],
+        parts["make_batch"],
     )
-    tx = make_optimizer(lr=1e-3, decay_lr=None)
-    trainer = Trainer(model, CNPFLoss(), tx, splitter=splitter)
-
-    stride = gen.n_time // n_points
-    x_grid = jnp.linspace(-1.0, 1.0, n_points)
-
-    def make_batch(key):
-        theta = space.sample(key, batch_size)
-        _, h = gen.time_domain(theta)
-        h = h[..., -n_points * stride :: stride][..., :n_points]
-        x = jnp.broadcast_to(x_grid[None, :, None], (batch_size, n_points, 1))
-        return x, h[..., None]
 
     key = jax.random.PRNGKey(0)
     x, y = jax.jit(make_batch)(key)

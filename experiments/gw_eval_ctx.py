@@ -91,7 +91,8 @@ def main():
         "budget. Writes ctx_sweep_fixed.json.",
     )
     ap.add_argument("--n-test", type=int, default=1024)
-    ap.add_argument("--n-points", type=int, default=256)
+    ap.add_argument("--n-points", type=int, default=None,
+                    help="eval waveform length (default: the run's n_points)")
     ap.add_argument("--plot", action="store_true",
                     help="overlay saved ctx_sweep.json files into one figure")
     args = ap.parse_args()
@@ -104,7 +105,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from experiments.reproduce_gp import build_model
     from npf_gwwaveform_tpu.data import (
         CntxtTrgtSplitter,
         GetRandomIndcs,
@@ -121,34 +121,24 @@ def main():
     with open(os.path.join(args.run_dir, "summary.json")) as f:
         summary = json.load(f)
     conditioned = bool(summary.get("conditioned"))
-    cnn_kernel = summary.get("cnn_kernel_size")
-    dilations = summary.get("cnn_dilations")
-    cnn_arch = summary.get("cnn_arch", "cnn")
-    if cnn_kernel or dilations or cnn_arch != "cnn":
-        from npf_gwwaveform_tpu.configs import gp_model_1d
+    # single rebuild path for frozen runs — restores EVERY recorded knob
+    # (kernel/dilations/arch/density/no_lat_lb/elbo/pallas), configs.py
+    from npf_gwwaveform_tpu.configs import gw_model_from_summary
 
-        model = gp_model_1d(
-            summary["model"],
-            cnn_kernel_size=cnn_kernel or 19,
-            cnn_dilations=tuple(dilations) if dilations else None,
-            cnn_arch=cnn_arch,
-        )
-    else:
-        model = build_model(summary["model"])
-    model = model.clone(
-        y_dim=1,
-        cond_dim=4 if conditioned else 0,
-        cond_mode=summary.get("cond_mode") or "film",
-        **(
-            {"density_induced": summary["density_induced"]}
-            if summary.get("density_induced")
-            else {}
-        ),
+    model = gw_model_from_summary(summary)
+
+    # score on the run's own task: long-waveform runs record duration /
+    # n_points (a 2 s model scored on the default 1 s signals would run
+    # fine and mean nothing)
+    gen = GWWaveformGenerator(
+        duration=float(summary.get("duration", 1.0)), sample_rate=1024.0
     )
-
-    gen = GWWaveformGenerator(duration=1.0, sample_rate=1024.0)
     space = GWParameterSpace()
-    n_points = args.n_points
+    n_points = (
+        args.n_points
+        if args.n_points is not None
+        else int(summary.get("n_points", 256))
+    )
     stride = gen.n_time // n_points
     x_grid = jnp.linspace(-1.0, 1.0, n_points)
 

@@ -33,7 +33,8 @@ def main():
     ap.add_argument("run_dir", nargs="?", default=FLAGSHIP)
     ap.add_argument("--n-context", type=int, default=None,
                     help="context points per waveform (default: the run's)")
-    ap.add_argument("--n-points", type=int, default=256)
+    ap.add_argument("--n-points", type=int, default=None,
+                    help="waveform length (default: the run's n_points)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="results/viz")
     args = ap.parse_args()
@@ -46,7 +47,6 @@ def main():
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    from experiments.reproduce_gp import build_model
     from npf_gwwaveform_tpu.data import (
         CntxtTrgtSplitter,
         GetRandomIndcs,
@@ -67,37 +67,22 @@ def main():
     conditioned = bool(summary.get("conditioned"))
     n_context = args.n_context or int(summary.get("n_context", 64))
 
-    # rebuild the exact architecture (mirrors reproduce_gw.py's branching:
-    # cnn knobs must go through gp_model_1d, not clone — configs.py closures)
-    cnn_kernel = summary.get("cnn_kernel_size")
-    dilations = summary.get("cnn_dilations")
-    cnn_arch = summary.get("cnn_arch", "cnn")
+    # single rebuild path for frozen runs — restores EVERY recorded knob
+    # (kernel/dilations/arch/density/no_lat_lb/elbo/pallas), configs.py
+    from npf_gwwaveform_tpu.configs import gw_model_from_summary
+
     model_name = summary["model"]
-    if cnn_kernel or dilations or cnn_arch != "cnn":
-        from npf_gwwaveform_tpu.configs import gp_model_1d
+    model = gw_model_from_summary(summary)
 
-        model = gp_model_1d(
-            model_name,
-            cnn_kernel_size=cnn_kernel or 19,
-            cnn_dilations=tuple(dilations) if dilations else None,
-            cnn_arch=cnn_arch,
-        )
-    else:
-        model = build_model(model_name)
-    model = model.clone(
-        y_dim=1,
-        cond_dim=4 if conditioned else 0,
-        cond_mode=summary.get("cond_mode") or "film",
-        **(
-            {"density_induced": summary["density_induced"]}
-            if summary.get("density_induced")
-            else {}
-        ),
+    gen = GWWaveformGenerator(
+        duration=float(summary.get("duration", 1.0)), sample_rate=1024.0
     )
-
-    gen = GWWaveformGenerator(duration=1.0, sample_rate=1024.0)
     space = GWParameterSpace()
-    n_points = args.n_points
+    n_points = (
+        args.n_points
+        if args.n_points is not None
+        else int(summary.get("n_points", 256))
+    )
     stride = gen.n_time // n_points
     x_grid = jnp.linspace(-1.0, 1.0, n_points)
 

@@ -63,17 +63,20 @@ def reeval_run(kernel: str, model_name: str, out="results/", n_test=10_000):
         sampler = GPSampler(n_points=128, **KERNEL_CONFIGS[kernel])
         eval_samplers = [sampler]
 
-    # rebuild at the eps the run was trained with (summary.norm_eps;
-    # runs predating the knob trained at the 1e-3 default)
-    norm_eps = 1e-3
+    # rebuild at the config the run was trained with (summary.json;
+    # runs predating a knob trained at its default)
+    run_summary = {}
     spath0 = os.path.join(run_dir, "summary.json")
     if os.path.exists(spath0):
         with open(spath0) as f:
-            norm_eps = json.load(f).get("norm_eps", 1e-3)
+            run_summary = json.load(f)
+    norm_eps = run_summary.get("norm_eps", 1e-3)
     if "_ELBO" in model_name:
         # objective-ablation variant (Losses.ipynb grid): rebuild via
         # gp_model_variant from the encoded flags, e.g.
-        # LNP_ELBOTrue_LatLBTrue_SigLBFalse
+        # LNP_ELBOTrue_LatLBTrue_SigLBFalse — at the recorded arch (the
+        # ConvLNP NPML cell is checked in with ablation_arch='headline';
+        # the notebook arch's param tree would fail from_bytes)
         from npf_gwwaveform_tpu.configs import gp_model_variant
         from npf_gwwaveform_tpu.losses import ELBOLossLNPF, NLLLossLNPF
 
@@ -82,7 +85,11 @@ def reeval_run(kernel: str, model_name: str, out="results/", n_test=10_000):
         for part in flag_parts:
             val = part.endswith("True")
             flags[part[: -len("True" if val else "False")]] = val
-        model = gp_model_variant(base, flags["ELBO"], flags["LatLB"], flags["SigLB"])
+        model = gp_model_variant(
+            base, flags["ELBO"], flags["LatLB"], flags["SigLB"],
+            cnn_norm_eps=norm_eps,
+            headline_arch=run_summary.get("ablation_arch") == "headline",
+        )
         criterion = ELBOLossLNPF() if flags["ELBO"] else NLLLossLNPF()
     else:
         model = build_model(model_name, norm_eps=norm_eps)

@@ -26,7 +26,7 @@ from .ops.mlp import MLP
 
 R_DIM = 128
 
-__all__ = ["gp_model_1d", "gp_criterion", "R_DIM"]
+__all__ = ["gp_model_1d", "gp_criterion", "gw_model_from_summary", "R_DIM"]
 
 
 def _xy_encoder(hidden_size, dtype=None):
@@ -135,6 +135,14 @@ def gp_model_1d(
             n_z_samples_test=8,
         )
     if cnn_arch == "unet":
+        if cnn_dilations or cnn_banded:
+            # _unet_factory supports neither knob; dropping them silently
+            # would let run artifacts (tag + summary.json) claim an
+            # architecture that was never built.
+            raise ValueError(
+                "cnn_dilations/cnn_banded are not supported with cnn_arch='unet'"
+            )
+
         def cnn_factory(n_blocks):
             return _unet_factory(
                 n_blocks, dtype, cnn_kernel_size, cnn_norm_eps, remat=cnn_remat
@@ -205,6 +213,52 @@ def gw_model_1d(
     if name in ("LNP", "AttnLNP", "ConvLNP"):
         kwargs.update(lat_scale_transform="softplus", min_lat_sigma=1e-4)
     return base.clone(**kwargs)
+
+
+def gw_model_from_summary(summary: dict):
+    """Rebuild the EXACT architecture of a finished reproduce_gw run from its
+    summary.json, restoring every recorded knob — cnn kernel/dilations/arch/
+    banded, induced density, parameter conditioning, the latent-scale
+    transform (`no_lat_lb`), NPVI's q(z|C∪T) (`train_loss_objective=elbo`)
+    and the Pallas SetConv switch.
+
+    This is the single rebuild path for every frozen-run consumer
+    (gw_eval_ctx / gw_viz); rebuilding by hand has twice produced silently
+    wrong models (a cloned cnn_kernel_size no-op, and a dropped no_lat_lb
+    that re-applied the 0.1 sigmoid floor this repo diagnosed as the
+    latent-collapse cause)."""
+    dilations = summary.get("cnn_dilations")
+    model = gp_model_1d(
+        summary["model"],
+        cnn_kernel_size=summary.get("cnn_kernel_size") or 19,
+        cnn_dilations=tuple(dilations) if dilations else None,
+        cnn_arch=summary.get("cnn_arch", "cnn"),
+        cnn_banded=bool(summary.get("cnn_banded", False)),
+    )
+    conditioned = bool(summary.get("conditioned"))
+    model = model.clone(
+        y_dim=1 if summary.get("mode", "time") == "time" else 2,
+        cond_dim=4 if conditioned else 0,
+        cond_mode=summary.get("cond_mode") or "film",
+        **(
+            {"use_pallas_setconv": True}
+            if summary.get("use_pallas_setconv")
+            else {}
+        ),
+        **(
+            {"density_induced": summary["density_induced"]}
+            if summary.get("density_induced")
+            else {}
+        ),
+        **(
+            {"lat_scale_transform": "softplus", "min_lat_sigma": 1e-4}
+            if summary.get("no_lat_lb")
+            else {}
+        ),
+    )
+    if summary.get("train_loss_objective") == "elbo":
+        model = model.clone(is_q_zCct=True, n_z_samples_train=1)
+    return model
 
 
 def gp_criterion(name: str):

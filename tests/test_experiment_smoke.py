@@ -153,3 +153,58 @@ def test_results_table_full_grid():
         "RBF", "Periodic", "Noisy_Matern", "Matern", "Variable_Matern",
         "All_Kernels")]
     assert len(cells) == 36, f"expected 36 grid cells, got {len(cells)}"
+
+
+def test_gw_model_from_summary_restores_every_knob():
+    """Frozen-run consumers (gw_eval_ctx/gw_viz) rebuild the model through
+    configs.gw_model_from_summary; the helper must restore every recorded
+    architecture knob. Regression for two real bugs: a hand rebuild that
+    dropped no_lat_lb (re-applying the 0.1 sigmoid floor — the diagnosed
+    latent-collapse cause) and one that ignored duration/n_points."""
+    from npf_gwwaveform_tpu.configs import gw_model_from_summary
+
+    # latent-scale transform (the no_lat_lb runs)
+    m = gw_model_from_summary(
+        {"model": "ConvLNP", "conditioned": True, "cond_mode": "film",
+         "no_lat_lb": True}
+    )
+    assert m.lat_scale_transform == "softplus" and m.min_lat_sigma == 1e-4
+    # default keeps the reference's 0.1+0.9*sigmoid floor
+    m0 = gw_model_from_summary(
+        {"model": "ConvLNP", "conditioned": True, "cond_mode": "film"}
+    )
+    assert m0.lat_scale_transform != "softplus"
+    # NPVI: q(z|C∪T) restored
+    m1 = gw_model_from_summary(
+        {"model": "ConvLNP", "conditioned": True,
+         "train_loss_objective": "elbo"}
+    )
+    assert m1.is_q_zCct and m1.n_z_samples_train == 1
+    # long-waveform knobs: kernel, density, pallas
+    m2 = gw_model_from_summary(
+        {"model": "ConvCNP", "conditioned": True, "cond_mode": "film",
+         "cnn_kernel_size": 37, "density_induced": 512,
+         "use_pallas_setconv": True}
+    )
+    assert m2.density_induced == 512 and m2.use_pallas_setconv
+    # freq_ap mode -> y_dim 2
+    m3 = gw_model_from_summary(
+        {"model": "ConvCNP", "conditioned": True, "mode": "freq_ap"}
+    )
+    assert m3.y_dim == 2
+    # unconditioned
+    m4 = gw_model_from_summary({"model": "ConvCNP"})
+    assert m4.cond_dim == 0
+
+
+def test_gp_model_1d_rejects_unet_incompatible_knobs():
+    """cnn_dilations/cnn_banded silently dropped under cnn_arch='unet' would
+    let run artifacts claim an architecture that was never built."""
+    import pytest
+
+    from npf_gwwaveform_tpu.configs import gp_model_1d
+
+    with pytest.raises(ValueError, match="unet"):
+        gp_model_1d("ConvCNP", cnn_arch="unet", cnn_dilations=(1, 2))
+    with pytest.raises(ValueError, match="unet"):
+        gp_model_1d("ConvCNP", cnn_arch="unet", cnn_banded=True)
