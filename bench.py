@@ -145,6 +145,115 @@ def measure(
     return out
 
 
+def measure_inference(
+    batch_size=512,
+    n_points=256,
+    n_context=192,
+    density_induced=128,
+    n_inner=200,
+    n_chunks=4,
+    use_pallas=False,
+    duration=1.0,
+):
+    """Serving-side throughput: posterior reconstruction (loc + scale over
+    all target points) at a FIXED observation budget — the quality
+    operating point's eval shape (ctx 192 of 256, density 128 by default;
+    RESULTS.md GW fixed-budget sweeps). Forward-only, no optimizer; the
+    batch (waveform synthesis + fixed-count split) is generated on device
+    inside the same scan, which mirrors the train bench's accounting and
+    costs ~10% of a TRAIN step (PROFILE_STEP.json), i.e. a conservative
+    reconstructions/s number."""
+    import jax.numpy as jnp
+
+    from experiments._flagship import build_flagship
+    from npf_gwwaveform_tpu.data import (
+        CntxtTrgtSplitter,
+        GetRandomIndcs,
+        get_all_indcs,
+    )
+
+    parts = build_flagship(
+        batch_size,
+        n_points=n_points,
+        density_induced=density_induced,
+        n_context=n_context,
+        duration=duration,
+        use_pallas=use_pallas,
+    )
+    model, make_batch = parts["model"], parts["make_batch"]
+    # serving protocol: EXACTLY n_context observed points per waveform
+    splitter = CntxtTrgtSplitter(
+        contexts_getter=GetRandomIndcs(a=float(n_context), b=n_context),
+        targets_getter=get_all_indcs,
+    )
+
+    key = jax.random.PRNGKey(0)
+    x, y = jax.jit(make_batch)(key)
+    b0 = splitter(key, x, y)
+    variables = model.init(
+        {"params": key, "latent": key},
+        b0["X_cntxt"], b0["Y_cntxt"], b0["X_trgt"],
+        mask_cntxt=b0["mask_cntxt"], mask_trgt=b0["mask_trgt"], train=False,
+    )
+
+    def one_infer(carry, key):
+        kd, ks = jax.random.split(key)
+        x, y = make_batch(kd)
+        b = splitter(ks, x, y)
+        out = model.apply(
+            variables,
+            b["X_cntxt"], b["Y_cntxt"], b["X_trgt"],
+            mask_cntxt=b["mask_cntxt"], mask_trgt=b["mask_trgt"], train=False,
+        )
+        # DCE guard: the emitted scalar must depend on the full predictive
+        # (loc AND scale) or XLA deletes the untouched head
+        s = jnp.sum(out.p_yCc.loc.astype(jnp.float32)) + jnp.sum(
+            out.p_yCc.scale.astype(jnp.float32)
+        )
+        return carry + s, None
+
+    @jax.jit
+    def run_chunk(key):
+        acc, _ = jax.lax.scan(
+            one_infer, jnp.float32(0.0), jax.random.split(key, n_inner)
+        )
+        return acc
+
+    try:
+        compiled = jax.jit(
+            lambda c, k: one_infer(c, k)[0]
+        ).lower(jnp.float32(0.0), key).compile()
+        flops_step = float(compiled.cost_analysis()["flops"])
+    except Exception:
+        flops_step = float("nan")
+
+    jax.block_until_ready(run_chunk(key))  # warmup/compile
+    t0 = time.perf_counter()
+    for i in range(n_chunks):
+        acc = run_chunk(jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(acc)
+    dt = time.perf_counter() - t0
+
+    n_chips = max(1, len(jax.devices()))
+    wf_per_sec = n_chunks * n_inner * batch_size / dt / n_chips
+    flops_per_sec = flops_step * n_inner * n_chunks / dt / n_chips
+    peak, kind = _peak_flops()
+    out = {
+        "batch_size": batch_size,
+        "n_points": n_points,
+        "n_context": n_context,
+        "density_induced": density_induced,
+        "use_pallas_setconv": use_pallas,
+        "reconstructions_per_sec_per_chip": round(wf_per_sec, 2),
+        "flops_per_step": flops_step,
+        "tflops_per_sec": round(flops_per_sec / 1e12, 2),
+        "device_kind": kind,
+    }
+    if peak and flops_step == flops_step:
+        out["mfu"] = round(flops_per_sec / peak, 4)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--detail", action="store_true",
@@ -164,7 +273,32 @@ def main():
         help="train steps fused per dispatch (lax.scan length); higher "
         "amortizes tunnel dispatch latency further",
     )
+    ap.add_argument(
+        "--infer", action="store_true",
+        help="measure serving throughput (posterior reconstruction at "
+        "fixed ctx 192, density-128 quality operating point) instead of "
+        "training; merges an 'inference' section into BENCH_DETAIL.json",
+    )
     args = ap.parse_args()
+
+    if args.infer:
+        rows = [
+            measure_inference(batch_size=512),
+            measure_inference(batch_size=512, density_induced=64),
+        ]
+        if os.path.exists("BENCH_DETAIL.json"):
+            with open("BENCH_DETAIL.json") as f:
+                detail = json.load(f)
+            detail["inference"] = rows
+            with open("BENCH_DETAIL.json", "w") as f:
+                json.dump(detail, f, indent=2)
+        print(json.dumps({
+            "metric": "gw_convcnp_inference_throughput",
+            "value": rows[0]["reconstructions_per_sec_per_chip"],
+            "unit": "reconstructions/sec/chip",
+            "detail": rows,
+        }))
+        return
 
     if args.detail or args.detail_fast:
         detail = {"flagship": None, "sweep": [], "long_context": []}
