@@ -121,6 +121,14 @@ def main():
         "keys into the existing summary.json (used to rescore frozen runs "
         "when the eval protocol gains metrics, e.g. mismatch_zdraw_*)",
     )
+    ap.add_argument(
+        "--resume-from", default=None,
+        help="warm-start training from another run dir's params.msgpack "
+        "(+extra_vars). The optimizer state and LR decay schedule RESTART "
+        "(reference skorch is_continue_train reloads optimizer.pt too; here "
+        "the continuation re-peaks at --lr and decays over --steps — pass a "
+        "lower --lr for a pure fine-tune). Recorded as summary.resumed_from",
+    )
     ap.add_argument("--lr", type=float, default=1e-3,
                     help="Adam peak LR (default matches the reference's 1e-3; "
                     "small-batch long-waveform configs can need lower)")
@@ -267,6 +275,10 @@ def main():
         from npf_gwwaveform_tpu.training import load_run_params
 
         state = load_run_params(run_dir, state)
+    elif args.resume_from:
+        from npf_gwwaveform_tpu.training import load_run_params
+
+        state = load_run_params(args.resume_from, state)
 
     def one_step(state, k):
         x, y, p = make_batch(k, args.batch)
@@ -413,6 +425,8 @@ def main():
         summary["n_points"] = args.n_points
     if args.pallas:
         summary["use_pallas_setconv"] = True
+    if args.resume_from:
+        summary["resumed_from"] = args.resume_from
     if args.lr != 1e-3:
         summary["lr"] = args.lr
     if args.clip is not None:
