@@ -101,6 +101,35 @@ def test_reproduce_gw_eval_only_rescore(gw_smoke_run):
     assert (gw_smoke_run / "params.msgpack").stat().st_size > 0
 
 
+def test_reproduce_gw_resume_from(gw_smoke_run):
+    """--resume-from warm-starts a NEW run from a frozen run's params (the
+    long-waveform continuation path). Wiring check: the continuation run
+    trains, writes its own artifacts under run_1, and records its parent.
+    The params round-trip itself is covered by the load_run_params test."""
+    out_root = gw_smoke_run.parent.parent.parent
+    run([
+        "experiments/reproduce_gw.py", "--model", "CNP", "--steps", "1",
+        "--batch", "8", "--n-test", "64", "--out", str(out_root),
+        "--run", "1", "--resume-from", str(gw_smoke_run),
+    ])
+    cont_dir = gw_smoke_run.parent / "run_1"
+    summary = json.loads((cont_dir / "summary.json").read_text())
+    assert summary["resumed_from"] == str(gw_smoke_run)
+    # the continuation's params must sit ONE Adam step (~lr=1e-3 per leaf)
+    # from the parent's trained params — a silent fresh-init restart would
+    # leave O(0.1) init-scale differences on every weight matrix
+    from flax.serialization import msgpack_restore
+
+    parent_p = msgpack_restore((gw_smoke_run / "params.msgpack").read_bytes())
+    cont_p = msgpack_restore((cont_dir / "params.msgpack").read_bytes())
+    import jax
+
+    diffs = jax.tree.map(
+        lambda a, b: float(np.max(np.abs(a - b))), parent_p, cont_p
+    )
+    assert max(jax.tree.leaves(diffs)) < 0.05, diffs
+
+
 def test_gw_eval_ctx_fixed_counts(gw_smoke_run):
     """--fixed pins the context count (capability at a known observation
     budget, vs the U{0..n} protocol's near-empty-draw floor)."""
