@@ -148,6 +148,16 @@ def main():
     ap.add_argument("--model", default="AttnCNP")
     ap.add_argument("--kernel", default="RBF_Kernel")
     ap.add_argument("--n-test", type=int, default=10_000)
+    ap.add_argument(
+        "--port-to", default=None,
+        help="also serialize the ported weights as {dir}/params.msgpack "
+        "(+extra_vars.msgpack) so reproduce_gp.py --resume-from can "
+        "warm-start OUR training from the reference's optimum — the "
+        "discriminating experiment for red grid cells: if continued "
+        "training under our estimator holds the bar's loss, the optimum "
+        "is stable and the gap is training-path; if it degrades, the bar "
+        "is protocol-fragile",
+    )
     args = ap.parse_args()
 
     import torch
@@ -209,6 +219,16 @@ def main():
     state = state.replace(params=jax.device_get(params))
     if extra_vars:
         state = state.replace(extra_vars=jax.device_get(extra_vars))
+
+    if args.port_to:
+        import flax.serialization
+
+        os.makedirs(args.port_to, exist_ok=True)
+        with open(os.path.join(args.port_to, "params.msgpack"), "wb") as f:
+            f.write(flax.serialization.to_bytes(jax.device_get(state.params)))
+        with open(os.path.join(args.port_to, "extra_vars.msgpack"), "wb") as f:
+            f.write(flax.serialization.to_bytes(jax.device_get(state.extra_vars)))
+        print(f"ported weights written to {args.port_to}")
 
     # identical eval protocol to reproduce_gp.py (same keys => same test fns)
     eval_bs = 256

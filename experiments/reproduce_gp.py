@@ -102,6 +102,17 @@ def main():
     )
     ap.add_argument("--run", type=int, default=0,
                     help="run index (artifact dir run_{N}; reference keeps run_0)")
+    ap.add_argument(
+        "--resume-from", default=None,
+        help="warm-start from another run dir's params.msgpack(+extra_vars) "
+        "— e.g. a ported reference checkpoint written by eval_pretrained.py "
+        "--port-to. Optimizer state and LR schedule restart at --lr; "
+        "recorded as summary.resumed_from",
+    )
+    ap.add_argument("--lr", type=float, default=1e-3,
+                    help="Adam peak LR (reference recipe: 1e-3; warm-start "
+                    "probes of a converged optimum want its END-of-decay LR, "
+                    "1e-4, to test stability rather than re-kick training)")
     args = ap.parse_args()
 
     from npf_gwwaveform_tpu.data import (
@@ -178,7 +189,7 @@ def main():
     steps_per_epoch = args.fns_per_epoch // args.batch
     grad_clip = 1.0 if args.model == "ConvLNP" else None
     tx = make_optimizer(
-        lr=1e-3,
+        lr=args.lr,
         decay_lr=args.decay_lr,
         max_epochs=args.epochs,
         steps_per_epoch=steps_per_epoch,
@@ -190,6 +201,14 @@ def main():
     key = jax.random.PRNGKey(args.seed)
     x0, y0 = sampler.sample(key, args.batch)
     state = create_train_state(model, tx, splitter(key, x0, y0), seed=args.seed)
+    run_dir = os.path.join(args.out, args.kernel, run_name, f"run_{args.run}")
+    if args.resume_from:
+        if os.path.abspath(args.resume_from) == os.path.abspath(run_dir):
+            ap.error(f"--resume-from resolves to this run's own output dir "
+                     f"({run_dir}); pass a different --run")
+        from npf_gwwaveform_tpu.training import load_run_params
+
+        state = load_run_params(args.resume_from, state)
 
     def one_step(state, k):
         x, y = sampler.sample(k, args.batch)
@@ -332,7 +351,6 @@ def main():
         ]
     )
 
-    run_dir = os.path.join(args.out, args.kernel, run_name, f"run_{args.run}")
     os.makedirs(run_dir, exist_ok=True)
     np.savetxt(os.path.join(run_dir, "eval.csv"), lls, delimiter=",")
     from npf_gwwaveform_tpu.training import write_history, write_model_summary
@@ -365,6 +383,10 @@ def main():
         summary["ablation_arch"] = args.ablation_arch
     if args.loss != "default":
         summary["loss"] = args.loss
+    if args.resume_from:
+        summary["resumed_from"] = args.resume_from
+    if args.lr != 1e-3:
+        summary["lr"] = args.lr
     with open(os.path.join(run_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))

@@ -271,6 +271,18 @@ def main():
         tag += "_pallas"
     run_dir = os.path.join(args.out, tag, args.model, f"run_{args.run}")
 
+    if args.eval_only and args.resume_from:
+        # eval-only would silently win the elif below; refuse the ambiguous
+        # combination instead of evaluating the wrong params (ADVICE r3)
+        ap.error("--eval-only and --resume-from are mutually exclusive: "
+                 "eval-only rescores run_dir's own frozen params")
+    if args.resume_from and (
+        os.path.abspath(args.resume_from) == os.path.abspath(run_dir)
+    ):
+        # same tag + same --run would overwrite the parent's artifacts in
+        # place; force the continuation into a fresh run index (ADVICE r3)
+        ap.error(f"--resume-from resolves to this run's own output dir "
+                 f"({run_dir}); pass a different --run for the continuation")
     if args.eval_only:
         from npf_gwwaveform_tpu.training import load_run_params
 
