@@ -38,7 +38,7 @@ import numpy as np
 POINT_MODELS = ("CNP", "LNP", "AttnCNP", "AttnLNP")
 
 
-def build_model(name, dtype=None, padding="SAME", norm_eps=1e-3):
+def build_model(name, dtype=None, padding="SAME", norm_eps=1e-3, y_dim=1):
     """Reference image configs (ConvCNP.ipynb model_2d / model_2d_extrap):
     5 ResConvBlocks (4 for LNP) with TWO conv layers per block, k=9,
     BatchNorm2d; zsmms uses CircularPad (full translation equivariance) and
@@ -59,12 +59,12 @@ def build_model(name, dtype=None, padding="SAME", norm_eps=1e-3):
 
     if name == "GridConvCNP":
         return GridConvCNP(
-            y_dim=1, x_dim=1, r_dim=128, CNNFactory=cnn_factory(5),
+            y_dim=y_dim, x_dim=1, r_dim=128, CNNFactory=cnn_factory(5),
             conv_kernel_size=11, conv_padding=padding, dtype=dtype,
         )
     if name == "GridConvLNP":
         return GridConvLNP(
-            y_dim=1, x_dim=1, r_dim=128, CNNFactory=cnn_factory(4),
+            y_dim=y_dim, x_dim=1, r_dim=128, CNNFactory=cnn_factory(4),
             conv_kernel_size=11, conv_padding=padding, n_z_samples_train=16,
             n_z_samples_test=32, is_global=True, dtype=dtype,
         )
@@ -75,7 +75,7 @@ def build_model(name, dtype=None, padding="SAME", norm_eps=1e-3):
         # merge-MLP one (AttnCNP.ipynb model_2d: is_self_attn=True)
         from npf_gwwaveform_tpu.configs import gp_model_1d
 
-        model = gp_model_1d(name, dtype=dtype).clone(x_dim=2)
+        model = gp_model_1d(name, dtype=dtype).clone(x_dim=2, y_dim=y_dim)
         if name.startswith("Attn"):
             model = model.clone(is_self_attn=True, XYEncoder=None)
         return model
@@ -102,13 +102,14 @@ def main():
     from npf_gwwaveform_tpu.training import Trainer, create_train_state, make_optimizer
 
     train_ds, test_ds = get_train_test_img_dataset(args.dataset)
+    y_dim = int(train_ds.shape[-1])  # 3 for rgb corpora (CelebA32 config shape)
     # zsmms: the reference's zero-shot config is circular-padded (full
     # translation equivariance across the canvas change) with BatchNorm
     # eps 1e-2 (model_2d_extrap)
     if args.dataset == "zsmms":
-        model = build_model(args.model, padding="CIRCULAR", norm_eps=1e-2)
+        model = build_model(args.model, padding="CIRCULAR", norm_eps=1e-2, y_dim=y_dim)
     else:
-        model = build_model(args.model)
+        model = build_model(args.model, y_dim=y_dim)
     criterion = NLLLossLNPF() if "LNP" in args.model else CNPFLoss()
     is_point = args.model in POINT_MODELS
     test_upscale = getattr(train_ds, "test_upscale_factor", 1.0)

@@ -32,6 +32,7 @@ import numpy as np
 __all__ = [
     "GridImageDataset",
     "DigitsDataset",
+    "RGBDigitsDataset",
     "ZeroShotMultiDigits",
     "SingleImage",
     "DATASETS_DICT",
@@ -170,6 +171,35 @@ class ZeroShotMultiDigits(GridImageDataset):
         return 32.0 / 20.0
 
 
+class RGBDigitsDataset(GridImageDataset):
+    """Offline CelebA32 stand-in: sklearn digits colorized to 32x32x3.
+
+    The reference's CelebA32 row (BASELINE.md; config ConvCNP.ipynb
+    `model_2d` with y_dim=3) is its only multi-channel benchmark; CelebA
+    itself needs network egress, so this corpus plays its role the way
+    `digits` plays MNIST's: each digit gets a per-image random foreground
+    color in [0.3, 1]^3 and background tint in [0, 0.25]^3, making every
+    channel carry the digit's structure at a DIFFERENT amplitude. That
+    exercises the multi-channel model path for real: per-channel abs-conv
+    density normalization (ref npf/neuralproc/gridconvnp.py:83-90,
+    `groups=y_dim`), channel-concat resize ([signal_3, density_3] -> r_dim),
+    and heteroskedastic per-channel output scales. Colors are seeded, so the
+    corpus is reproducible without checked-in binaries."""
+
+    def __init__(self, train: bool = True, upscale: int = 4, seed: int = 0):
+        imgs, labels = _load_sklearn_digits(upscale)  # [N, H, W, 1]
+        n = imgs.shape[0]
+        rng = np.random.default_rng(7)
+        fg = rng.uniform(0.3, 1.0, (n, 1, 1, 3)).astype(np.float32)
+        bg = rng.uniform(0.0, 0.25, (n, 1, 1, 3)).astype(np.float32)
+        rgb = bg + imgs * (fg - bg)  # digit intensity interpolates bg -> fg
+        split = int(0.9 * n)
+        order = np.random.default_rng(0).permutation(n)  # same folds as DigitsDataset
+        sel = order[:split] if train else order[split:]
+        self.labels = labels[sel]
+        super().__init__(rgb[sel], seed=seed)
+
+
 class SingleImage(GridImageDataset):
     """Dataset of random crops-as-batches of ONE large image
     (ref imgs.py:485-506). Used for structured-image in-painting demos."""
@@ -209,6 +239,7 @@ class LocalNpzDataset(GridImageDataset):
 
 DATASETS_DICT = {
     "digits": DigitsDataset,
+    "rgb_digits": RGBDigitsDataset,
     "digits16": lambda train=True, seed=0: DigitsDataset(train, upscale=2, seed=seed),
     "zs_multi_digits": ZeroShotMultiDigits,
     "zsmms": ZeroShotMultiDigits,  # reference alias
