@@ -89,6 +89,8 @@ def main():
     ap.add_argument("--epochs", type=int, default=50)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--out", default="results/")
+    ap.add_argument("--run", type=int, default=0,
+                    help="run index (artifact dir run_{N}; reference layout)")
     args = ap.parse_args()
 
     from npf_gwwaveform_tpu.data import get_train_test_img_dataset
@@ -214,7 +216,7 @@ def main():
         return -nlls.reshape(-1)
 
     lls = np.asarray(run_eval(state))
-    run_dir = os.path.join(args.out, args.dataset, args.model, "run_0")
+    run_dir = os.path.join(args.out, args.dataset, args.model, f"run_{args.run}")
     os.makedirs(run_dir, exist_ok=True)
     np.savetxt(os.path.join(run_dir, "eval.csv"), lls, delimiter=",")
     from npf_gwwaveform_tpu.training import write_history, write_model_summary
@@ -236,6 +238,7 @@ def main():
         imgs_per_sec=total_steps * args.batch / train_time,
         epochs=args.epochs,
         eval_protocol="indep_n",
+        y_dim=y_dim,
     )
     with open(os.path.join(run_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)

@@ -93,7 +93,9 @@ def test_gridconv_rgb_one_train_step(model_cls, crit):
     kw = dict(y_dim=3, x_dim=1, r_dim=16, cnn_n_blocks=1, cnn_kernel_size=3,
               conv_kernel_size=3)
     if model_cls is GridConvLNP:
-        kw.update(n_z_samples_train=2, n_z_samples_test=2)
+        # is_global=True matches the real rgb_digits/zsmms config
+        # (reproduce_img.py): global-latent pooling over a 2-D RGB grid
+        kw.update(n_z_samples_train=2, n_z_samples_test=2, is_global=True)
     model = model_cls(**kw)
     splitter = GridCntxtTrgtSplitter(
         context_masker=RandomMasker(a=0.0, b=0.3), target_masker=no_masker
