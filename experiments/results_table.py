@@ -195,18 +195,23 @@ def print_ablation(markdown=False):
 
 
 def print_gw():
-    """GW waveform rows (no reference baseline exists — our runs define it)."""
-    runs = sorted(glob.glob("results/GW_*/*/run_0/summary.json"))
+    """GW waveform rows (no reference baseline exists — our runs define it).
+    All run indices are shown: unlike the GP grid, run_1+ here are training
+    STAGES (LR probes, warm-started continuations), not seed repeats."""
+    runs = sorted(glob.glob("results/GW_*/*/run_*/summary.json"))
     if not runs:
         return
     print("\nGW waveform configs (test LL/waveform; mismatch p50/p90/p99):")
-    print(f"{'config':36s} {'model':8s} {'steps':>7s} {'LL/wf':>8s} "
+    print(f"{'config':44s} {'model':8s} {'run':>4s} {'steps':>7s} {'LL/wf':>8s} "
           f"{'p50':>7s} {'p90':>7s} {'p99':>7s}")
     for p in runs:
         d = json.load(open(p))
         cfg = p.split(os.sep)[1]
+        run = p.split(os.sep)[3].replace("run_", "")
         q = lambda k: (f"{d[k]:7.3f}" if k in d else "      —")
-        print(f"{cfg:36s} {d.get('model', '?'):8s} {d.get('steps', 0):>7d} "
+        warm = "+" if d.get("resumed_from") else " "
+        print(f"{cfg:44s} {d.get('model', '?'):8s} {run:>3s}{warm} "
+              f"{d.get('steps', 0):>7d} "
               f"{d.get('test_ll_per_wf', float('nan')):8.1f} "
               f"{q('mismatch_median')} {q('mismatch_p90')} {q('mismatch_p99')}")
 
