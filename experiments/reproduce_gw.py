@@ -139,6 +139,11 @@ def main():
     ap.add_argument("--run", type=int, default=0,
                     help="run index (artifact dir run_{i}; reference layout)")
     args = ap.parse_args()
+    if args.eval_only and args.resume_from:
+        # eval-only would silently win the resume elif; refuse the ambiguous
+        # combination instead of evaluating the wrong params (ADVICE r3)
+        ap.error("--eval-only and --resume-from are mutually exclusive: "
+                 "eval-only rescores run_dir's own frozen params")
 
     from experiments.reproduce_gp import build_model, criterion_for
     from npf_gwwaveform_tpu.data import (
@@ -271,11 +276,6 @@ def main():
         tag += "_pallas"
     run_dir = os.path.join(args.out, tag, args.model, f"run_{args.run}")
 
-    if args.eval_only and args.resume_from:
-        # eval-only would silently win the elif below; refuse the ambiguous
-        # combination instead of evaluating the wrong params (ADVICE r3)
-        ap.error("--eval-only and --resume-from are mutually exclusive: "
-                 "eval-only rescores run_dir's own frozen params")
     if args.resume_from and (
         os.path.abspath(args.resume_from) == os.path.abspath(run_dir)
     ):

@@ -130,6 +130,71 @@ def test_reproduce_gw_resume_from(gw_smoke_run):
     assert max(jax.tree.leaves(diffs)) < 0.05, diffs
 
 
+def test_reproduce_gw_rejects_ambiguous_resume_flags(gw_smoke_run):
+    """--eval-only + --resume-from is refused (eval-only used to silently
+    win, evaluating the wrong params — ADVICE r3); --resume-from resolving
+    to the run's own output dir is refused (it would overwrite the parent's
+    artifacts in place)."""
+    out_root = gw_smoke_run.parent.parent.parent
+
+    def expect_error(extra, match):
+        r = subprocess.run(
+            [sys.executable, "experiments/reproduce_gw.py", "--model", "CNP",
+             "--steps", "1", "--batch", "8", "--out", str(out_root)] + extra,
+            cwd=REPO, env=ENV, capture_output=True, text=True, timeout=600,
+        )
+        assert r.returncode != 0
+        assert match in r.stderr, r.stderr[-800:]
+
+    expect_error(["--eval-only", "--resume-from", str(gw_smoke_run)],
+                 "mutually exclusive")
+    expect_error(["--run", "0", "--resume-from", str(gw_smoke_run)],
+                 "own output dir")
+
+
+def test_reproduce_gp_resume_from(tmp_path):
+    """reproduce_gp --resume-from warm-starts from another run dir (the
+    ported-checkpoint bar-stability probe path) and records the parent;
+    summaries with resumed_from are excluded from the results table's
+    best-run selection (they are diagnostics, not from-scratch results)."""
+    out = tmp_path / "results"
+    args = ["experiments/reproduce_gp.py", "--model", "CNP",
+            "--kernel", "RBF_Kernel", "--epochs", "1",
+            "--fns-per-epoch", "320", "--batch", "32", "--n-test", "256",
+            "--out", str(out)]
+    run(args)
+    parent = out / "RBF_Kernel" / "CNP" / "run_0"
+    assert parent.is_dir()
+    run(args + ["--run", "1", "--resume-from", str(parent), "--lr", "1e-4"])
+    cont = out / "RBF_Kernel" / "CNP" / "run_1"
+    summary = json.loads((cont / "summary.json").read_text())
+    assert summary["resumed_from"] == str(parent)
+    assert summary["lr"] == 1e-4
+    # warm start really loaded the parent (not fresh init): params stay close
+    from flax.serialization import msgpack_restore
+    import jax
+
+    parent_p = msgpack_restore((parent / "params.msgpack").read_bytes())
+    cont_p = msgpack_restore((cont / "params.msgpack").read_bytes())
+    diffs = jax.tree.map(
+        lambda a, b: float(np.max(np.abs(a - b))), parent_p, cont_p
+    )
+    assert max(jax.tree.leaves(diffs)) < 0.05, diffs
+    # the table's GP-cell selector must skip the warm-start probe: it reads
+    # results/{kernel}/{model}/run_* relative to cwd
+    sys.path.insert(0, REPO)
+    from experiments.results_table import load_ours
+
+    cwd = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        ll, meta = load_ours("RBF_Kernel", "CNP")
+        assert meta.get("run", "run_0") == "run_0"
+        assert "resumed_from" not in meta
+    finally:
+        os.chdir(cwd)
+
+
 def test_gw_eval_ctx_fixed_counts(gw_smoke_run):
     """--fixed pins the context count (capability at a known observation
     budget, vs the U{0..n} protocol's near-empty-draw floor)."""
