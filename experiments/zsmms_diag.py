@@ -14,6 +14,10 @@ Three measurements on a frozen run dir, separating the hypotheses:
    canvas is 2.56x the train canvas area with 2 digits on it, so per-channel
    activation statistics shift; frozen running averages from the train
    canvas misnormalize exactly when this number is much better than (1).
+4. `test_canvas_adapted` — the PRINCIPLED fix the trichotomy motivates:
+   `training.adapt_batch_stats` re-estimates the running averages on
+   unlabeled test-canvas inputs (AdaBN), then the STANDARD frozen-stats
+   eval runs. Reported as its own clearly-labeled protocol row.
 
 Usage: python experiments/zsmms_diag.py [--model GridConvCNP] [--run run_0]
 """
@@ -71,7 +75,7 @@ def main():
     )
     state = load_run_params(run_dir, state)
 
-    def score(imgs, batch_stats_mode=False, eval_bs=32):
+    def score(imgs, batch_stats_mode=False, eval_bs=32, state=state):
         n = (imgs.shape[0] // eval_bs) * eval_bs
 
         @jax.jit
@@ -101,6 +105,12 @@ def main():
         "train_canvas": score(train_ds.images[:1024]),
         "test_canvas_batchstats": score(test_ds.images, batch_stats_mode=True),
     }
+    from npf_gwwaveform_tpu.training import adapt_batch_stats
+
+    adapted = adapt_batch_stats(
+        trainer, state, test_ds.images, jax.random.PRNGKey(7)
+    )
+    res["test_canvas_adapted"] = score(test_ds.images, state=adapted)
     with open(os.path.join(run_dir, "zsmms_diag.json"), "w") as f:
         json.dump(res, f, indent=2)
     print(json.dumps(res))
