@@ -194,6 +194,31 @@ def print_ablation(markdown=False):
             print(f"{kernel:14s} {variant:40s} {r} {b} {ours:9.2f}  {note}{star}")
 
 
+def print_rgb():
+    """y_dim=3 in-painting rows (the reference's CelebA32 axis; its recorded
+    CelebA numbers are shown as an ordering anchor only — true CelebA needs
+    egress, the offline rgb_digits corpus plays its role)."""
+    ref = {"GridConvCNP": "ConvCNP", "GridConvLNP": "ConvLNP",
+           "CNP": "CNP", "LNP": "LNP", "AttnCNP": "AttnCNP",
+           "AttnLNP": "AttnLNP"}
+    rows = []
+    for ours_name, ref_name in ref.items():
+        rec = load_recorded_path(f"{REF_ROOT}/celeba32/{ref_name}/run_0/eval.csv")
+        ours, meta = load_ours("rgb_digits", ours_name)
+        if ours is None:
+            continue
+        rows.append((ours_name, rec, ours))
+    if not rows:
+        return
+    print("\nrgb_digits in-painting (y_dim=3, LL/image; 'ref celeba32' = the "
+          "reference's recorded CelebA32 numbers, ordering anchor only — "
+          "different corpus):")
+    print(f"{'model':14s} {'ref celeba32':>13s} {'ours (rgb)':>12s}")
+    for m, rec, ours in rows:
+        f = lambda v, w=12: f"{v:{w}.1f}" if v is not None else " " * (w - 1) + "—"
+        print(f"{m:14s} {f(rec, 13)} {f(ours)}")
+
+
 def print_gw():
     """GW waveform rows (no reference baseline exists — our runs define it).
     All run indices are shown: unlike the GP grid, run_1+ here are training
@@ -299,6 +324,7 @@ def main():
         print_ablation()
         print_zsmms(bars)
         print_digits()
+        print_rgb()
         print_gw()
 
 
