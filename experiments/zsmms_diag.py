@@ -41,6 +41,13 @@ def main():
     ap.add_argument("--model", default="GridConvCNP")
     ap.add_argument("--run", default="run_0")
     ap.add_argument("--out", default="results/")
+    ap.add_argument(
+        "--n-z", type=int, default=None,
+        help="override n_z_samples_test for latent models (the trained "
+        "n_z=32 makes a 3-protocol CPU diagnosis intractable; the "
+        "trichotomy CONTRAST, not the absolute LL, is the measurement — "
+        "recorded in the output as n_z_override)",
+    )
     args = ap.parse_args()
 
     from experiments.reproduce_img import build_model
@@ -60,6 +67,8 @@ def main():
 
     train_ds, test_ds = get_train_test_img_dataset("zsmms")
     model = build_model(args.model, padding="CIRCULAR", norm_eps=1e-2)
+    if args.n_z is not None:
+        model = model.clone(n_z_samples_test=args.n_z)
     criterion = NLLLossLNPF() if "LNP" in args.model else CNPFLoss()
     eval_splitter = GridCntxtTrgtSplitter(
         context_masker=RandomMasker(a=0.0, b=0.3, is_indep_n=True),
@@ -101,6 +110,7 @@ def main():
     res = {
         "model": args.model,
         "run": args.run,
+        **({"n_z_override": args.n_z} if args.n_z is not None else {}),
         "test_canvas": score(test_ds.images),
         "train_canvas": score(train_ds.images[:1024]),
         "test_canvas_batchstats": score(test_ds.images, batch_stats_mode=True),
