@@ -132,6 +132,16 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3,
                     help="Adam peak LR (default matches the reference's 1e-3; "
                     "small-batch long-waveform configs can need lower)")
+    ap.add_argument(
+        "--decay-lr", type=float, default=10.0,
+        help="total LR decay factor over the run (default x10, the "
+        "reference's). Doubling --steps halves the per-epoch decay rate, "
+        "which keeps LR high twice as long — measured to destabilize "
+        "UnetCNN at 200k steps (loss oscillates 3.5-5.6k where the 100k "
+        "run descends; flat CNNs tolerate it). Scale this with the step "
+        "budget (e.g. 100 for 2x steps) to preserve the per-epoch rate, "
+        "as reproduce_gp.py's flag documents for GP attention models",
+    )
     ap.add_argument("--clip", type=float, default=None,
                     help="grad-norm clip (default: 1.0 for ConvLNP like the "
                     "reference's GradientNormClipping, else none)")
@@ -215,7 +225,8 @@ def main():
 
     steps_per_epoch = 1562
     tx = make_optimizer(
-        lr=args.lr, decay_lr=10.0, max_epochs=max(1, args.steps // steps_per_epoch),
+        lr=args.lr, decay_lr=args.decay_lr,
+        max_epochs=max(1, args.steps // steps_per_epoch),
         steps_per_epoch=steps_per_epoch,
         grad_clip_norm=(
             args.clip
@@ -441,6 +452,8 @@ def main():
         summary["resumed_from"] = args.resume_from
     if args.lr != 1e-3:
         summary["lr"] = args.lr
+    if args.decay_lr != 10.0:
+        summary["decay_lr"] = args.decay_lr
     if args.clip is not None:
         summary["grad_clip_norm"] = args.clip
     os.makedirs(run_dir, exist_ok=True)
