@@ -387,6 +387,12 @@ def main():
         summary["resumed_from"] = args.resume_from
     if args.lr != 1e-3:
         summary["lr"] = args.lr
+    if args.decay_lr != 10.0:
+        # Non-default decay schedules (the x100-1000 deep-decay recipe that
+        # closed Periodic AttnCNP) must be reconstructible from results/
+        # alone: epochs is recorded, so decay_lr recovers the per-epoch rate
+        # (ADVICE round-4; reproduce_gw.py records this identically).
+        summary["decay_lr"] = args.decay_lr
     with open(os.path.join(run_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))

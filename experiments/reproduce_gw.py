@@ -163,6 +163,8 @@ def main():
         GWWaveformGenerator,
         get_all_indcs,
         mismatch,
+        mismatch_fd,
+        psd_aligo,
     )
     from npf_gwwaveform_tpu.training import Trainer, create_train_state, make_optimizer
     from npf_gwwaveform_tpu.utils.predict import SamplePredictor
@@ -240,8 +242,9 @@ def main():
     stride = gen.n_time // n_points
     x_grid = jnp.linspace(-1.0, 1.0, n_points)
 
-    def make_batch(key, n):
+    def make_batch(key, n, return_aux=False):
         theta = space.sample(key, n)
+        aux = None
         if args.mode == "time":
             _, h = gen.time_domain(theta)
             h = h[..., -n_points * stride :: stride][..., :n_points]
@@ -249,11 +252,18 @@ def main():
         else:
             fd = gen.frequency_domain(theta, n_f=n_points)
             psi = fd.phase
-            psi = (psi - jnp.mean(psi, -1, keepdims=True)) / (
-                jnp.std(psi, -1, keepdims=True) + 1e-8
-            )
+            sigma = jnp.std(psi, -1, keepdims=True)
+            psi = (psi - jnp.mean(psi, -1, keepdims=True)) / (sigma + 1e-8)
             y = jnp.stack([fd.amplitude, psi], axis=-1)
+            # per-waveform phase scale: the freq_ap targets are standardized
+            # (mean/std are the task's normalization convention, like the
+            # amplitude's peak norm); eval denormalizes BOTH prediction and
+            # truth with the same true sigma to reconstruct h(f) for the
+            # physics metric
+            aux = sigma[..., 0]
         x = jnp.broadcast_to(x_grid[None, :, None], (n, n_points, 1))
+        if return_aux:
+            return x, y, space.normalize(theta), aux
         return x, y, space.normalize(theta)
 
     key = jax.random.PRNGKey(0)
@@ -369,7 +379,7 @@ def main():
     @jax.jit
     def eval_batch(state, key):
         kd, ks, kl = jax.random.split(key, 3)
-        x, y, p = make_batch(kd, 256)
+        x, y, p, aux = make_batch(kd, 256, return_aux=True)
         batch = eval_splitter(ks, x, y, condition=p if args.cond else None)
         out, _ = trainer._apply(state.params, state.extra_vars, batch, kl, train=False)
         # per-waveform NLL with the eval criterion (NPML forced)
@@ -386,7 +396,26 @@ def main():
             mm_z = jax.vmap(lambda l: mismatch(l, y[..., 0]))(out.p_yCc.loc[..., 0])
             mm_zdraw = jnp.mean(mm_z, axis=0)
         else:
-            mm = mm_zdraw = jnp.zeros((y.shape[0],))
+            # dual-output physics metric: reconstruct h(f) = A exp(-i psi)
+            # from predicted amplitude + standardized phase (denormalized
+            # with the true per-waveform phase scale — the normalization
+            # convention, as the amplitude's peak norm is) and score the
+            # PSD-weighted FD match maximized over time/phase shifts —
+            # makes the y_dim=2 config comparable to the time-domain
+            # flagship on the matched-filter metric
+            freqs = gen.freqs(n_points)
+            psd = psd_aligo(freqs)
+            sigma = aux[:, None]
+
+            def recon(ap_):
+                return ap_[..., 0] * jnp.exp(-1j * ap_[..., 1] * sigma)
+
+            h_true = recon(y)
+            mm = mismatch_fd(recon(pred), h_true, psd=psd)
+            mm_z = jax.vmap(lambda l: mismatch_fd(recon(l), h_true, psd=psd))(
+                out.p_yCc.loc
+            )
+            mm_zdraw = jnp.mean(mm_z, axis=0)
         return nll, mm, mm_zdraw
 
     nlls, mms, mms_zdraw, thetas = [], [], [], []
@@ -400,9 +429,8 @@ def main():
         # raw physical parameters of this eval batch (same kd split as
         # eval_batch's make_batch) for tail/failure-mode analysis
         thetas.append(np.asarray(space.sample(jax.random.split(kd, 3)[0], 256)))
-        if args.mode == "time":
-            mms.append(np.asarray(mm))
-            mms_zdraw.append(np.asarray(mm_zdraw))
+        mms.append(np.asarray(mm))
+        mms_zdraw.append(np.asarray(mm_zdraw))
     nlls = np.concatenate(nlls)
 
     summary = {

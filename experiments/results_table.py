@@ -72,7 +72,7 @@ def load_ours(kernel, model):
     reproducible from `results/` alone rather than hand-maintained. The
     selected run index is surfaced in the notes column when it isn't run_0.
     """
-    best, best_meta = None, None
+    best, best_meta, n_cand = None, None, 0
     for p in sorted(glob.glob(f"results/{kernel}/{model}/run_*/summary.json")):
         d = json.load(open(p))
         if d.get("eval_protocol") != "indep_n":
@@ -84,10 +84,17 @@ def load_ours(kernel, model):
             # "ours" column honestly ours
             continue
         ll = d.get("mean_test_ll")
-        if ll is not None and (best is None or ll > best):
+        if ll is None:
+            continue
+        n_cand += 1
+        if best is None or ll > best:
             best, best_meta = ll, dict(
                 d, run=os.path.basename(os.path.dirname(p)))
     if best is not None:
+        # surface the selection pressure: best-of-N vs a single-run bar is
+        # a different comparison than 1-vs-1, so the table must show N
+        # (ADVICE round-4)
+        best_meta["n_candidate_runs"] = n_cand
         return best, best_meta
     # cells predating the protocol field (image tables keep their own logic)
     p = f"results/{kernel}/{model}/run_0/summary.json"
@@ -274,6 +281,8 @@ def main():
                 note = f"{ep}ep" + ("" if proto == "indep_n" else f",{proto}")
                 if meta.get("run", "run_0") != "run_0":
                     note += f",{meta['run']}"
+                if meta.get("n_candidate_runs", 1) > 1:
+                    note += f" (best of {meta['n_candidate_runs']})"
             beats_bar = ours is not None and bar is not None and ours >= bar
             beats_rec = ours is not None and rec is not None and ours >= rec
             # statistical tie with the bar: |ours - bar| within the 95% CI

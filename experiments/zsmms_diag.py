@@ -76,6 +76,16 @@ def main():
     )
     tx = make_optimizer(lr=1e-3, decay_lr=None)
     trainer = Trainer(model, criterion, tx, splitter=eval_splitter)
+    # The batch-stats-mode row applies with train=True, which for latent
+    # models also switches to n_z_samples_train (typically 1 or 16) — a
+    # different estimator than the frozen-stats rows' n_z_samples_test.
+    # Clone the model so the train-mode pass draws the SAME number of z
+    # samples and the trichotomy contrast stays apples-to-apples
+    # (ADVICE round-4; no-op for conditional models).
+    trainer_bs = trainer
+    if getattr(model, "encoded_path", "deterministic") != "deterministic":
+        model_bs = model.clone(n_z_samples_train=model.n_z_samples_test)
+        trainer_bs = Trainer(model_bs, criterion, tx, splitter=eval_splitter)
 
     run_dir = os.path.join(args.out, "zsmms", args.model, args.run)
     y0 = test_ds.images[:2]
@@ -94,7 +104,8 @@ def main():
                 ks, kl = jax.random.split(k)
                 y = jax.lax.dynamic_slice_in_dim(imgs, i * eval_bs, eval_bs)
                 batch = eval_splitter(ks, y, y)
-                out, _ = trainer._apply(
+                tr = trainer_bs if batch_stats_mode else trainer
+                out, _ = tr._apply(
                     state.params, state.extra_vars, batch, kl,
                     train=batch_stats_mode,
                 )

@@ -18,6 +18,21 @@ Reference layer map: /root/reference SURVEY.md §1-2.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: GW long-waveform configs pay 250-830 s
+# compile+chunk0 per process, and the experiment queue re-pays it on every
+# warm-start leg / eval-only rescore of the same geometry. Opt out or
+# redirect with JAX_COMPILATION_CACHE_DIR (an empty value disables).
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    try:
+        _jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # older jaxlib without the knob: cache is an optimization only
+        pass
+
 from . import configs, distributions, losses, notebooks
 from .models import (
     CNP,

@@ -317,7 +317,11 @@ def psd_aligo(freqs: jax.Array) -> jax.Array:
         - 5.0 / (x**2)
         + 111.0 * (1.0 - x**2 + 0.5 * x**4) / (1.0 + 0.5 * x**2)
     )
-    return 1e-49 * jnp.maximum(s, 1e-6)
+    # returned in units of 1e-49 Hz^-1: the physical 1e-49 prefactor
+    # UNDERFLOWS float32 (subnormal floor ~1e-45) and the matched-filter
+    # match is invariant to the PSD's overall scale, so only the shape is
+    # kept in-range
+    return jnp.maximum(s, 1e-6)
 
 
 def match(
@@ -349,6 +353,42 @@ def match(
 
 def mismatch(h1, h2, axis: int = -1, psd: Optional[jax.Array] = None):
     return 1.0 - match(h1, h2, axis=axis, psd=psd)
+
+
+def match_fd(
+    h1f: jax.Array,
+    h2f: jax.Array,
+    psd: Optional[jax.Array] = None,
+    pad_factor: int = 4,
+) -> jax.Array:
+    """Matched-filter match for FREQUENCY-domain waveforms on a uniform
+    frequency grid, maximized over relative time and phase shifts.
+
+    h1f, h2f: complex [..., Nf] (e.g. ``amplitude * exp(-1j * phase)``).
+    psd: [Nf] noise weighting (1/S(f) inner product); None = white.
+    pad_factor: zero-pad the shift search FFT for sub-bin time resolution.
+
+    A time shift t maps to the linear phase e^{2*pi*i*f*t}, so the overlap
+    as a function of t is the DFT of ``h1f * conj(h2f) / S`` over the
+    uniform grid; |.| then absorbs the constant-phase freedom. This makes
+    the metric gauge-invariant to the (t_c, phi_c) freedom the freq_ap
+    targets already have projected out (frequency_domain's linear de-trend)
+    — the same invariances as the time-domain `match`."""
+    w = (1.0 / psd) if psd is not None else jnp.ones(h1f.shape[-1])
+    # the match is invariant to the weight's overall scale; normalize so
+    # physical PSDs (S ~ 1e-49 -> w ~ 1e49) don't overflow float32
+    w = w / jnp.mean(w)
+    integ = h1f * jnp.conj(h2f) * w
+    n = h1f.shape[-1] * pad_factor
+    corr = jnp.fft.fft(integ, n=n, axis=-1)
+    num = jnp.max(jnp.abs(corr), axis=-1)
+    n1 = jnp.sqrt(jnp.sum(jnp.abs(h1f) ** 2 * w, axis=-1))
+    n2 = jnp.sqrt(jnp.sum(jnp.abs(h2f) ** 2 * w, axis=-1))
+    return num / jnp.maximum(n1 * n2, 1e-30)
+
+
+def mismatch_fd(h1f, h2f, psd: Optional[jax.Array] = None, pad_factor: int = 4):
+    return 1.0 - match_fd(h1f, h2f, psd=psd, pad_factor=pad_factor)
 
 
 # ------------------------------------------------------------------ dataset

@@ -46,7 +46,10 @@ def adapt_batch_stats(trainer, state, images, key, n_passes: int = 50,
     extra_vars collections pass through unchanged. Models without
     BatchNorm return the state unchanged.
     """
-    if not any("batch_stats" in k for k in state.extra_vars):
+    if "batch_stats" not in state.extra_vars:
+        # exact-key check to match the new_vars["batch_stats"] access below
+        # (a substring guard could pass on a differently-named collection
+        # and then KeyError inside the scan — ADVICE round-4)
         return state
     n = images.shape[0]
 

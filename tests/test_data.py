@@ -146,6 +146,27 @@ def test_gw_mismatch_metric(gen):
     assert close < far  # nearby parameters -> smaller mismatch
 
 
+def test_gw_fd_mismatch_metric(gen):
+    """mismatch_fd: gauge-invariant (time + phase shifts) matched-filter
+    metric for the freq_ap dual-output config (reproduce_gw.py eval)."""
+    from npf_gwwaveform_tpu.data import mismatch_fd, psd_aligo
+
+    theta = GWParameterSpace().sample(jax.random.PRNGKey(3), 3)
+    fd = gen.frequency_domain(theta, n_f=256)
+    h = fd.amplitude * jnp.exp(-1j * fd.phase)
+    psd = psd_aligo(fd.freqs)
+    # the physical-PSD shape must survive float32 (the 1e-49 prefactor
+    # underflows; psd_aligo returns the shape in units of 1e-49)
+    assert float(np.asarray(psd).min()) > 0
+    assert float(np.asarray(mismatch_fd(h, h, psd=psd)).max()) < 1e-5
+    # gauge freedom: time shift (linear phase) and constant phase
+    shifted = h * jnp.exp(2j * jnp.pi * fd.freqs * 3e-3 + 0.7j)
+    assert float(np.asarray(mismatch_fd(shifted, h, psd=psd)).max()) < 1e-3
+    # a 5% phase stretch is NOT gauge and must register
+    warped = fd.amplitude * jnp.exp(-1.05j * fd.phase)
+    assert float(np.asarray(mismatch_fd(warped, h, psd=psd)).min()) > 1e-4
+
+
 def test_gw_dataset_modes(gen):
     for mode, y_dim in [("time", 1), ("freq_ap", 2)]:
         ds = GWWaveformDataset(gen, mode=mode, n_points=64, n_samples=32)
