@@ -38,11 +38,15 @@ import numpy as np
 POINT_MODELS = ("CNP", "LNP", "AttnCNP", "AttnLNP")
 
 
-def build_model(name, dtype=None, padding="SAME", norm_eps=1e-3, y_dim=1):
+def build_model(name, dtype=None, padding="SAME", norm_eps=1e-3, y_dim=1,
+                remat=False):
     """Reference image configs (ConvCNP.ipynb model_2d / model_2d_extrap):
     5 ResConvBlocks (4 for LNP) with TWO conv layers per block, k=9,
     BatchNorm2d; zsmms uses CircularPad (full translation equivariance) and
-    BatchNorm eps 1e-2 ('was getting NaN')."""
+    BatchNorm eps 1e-2 ('was getting NaN'). GridConvCNPXL is the
+    large-image scale config (ConvCNP.ipynb model_2d_XL: 12 blocks, k=9,
+    same r_dim/decoder — 722,417 params at y_dim=3; trained on 128x128
+    CelebA in the reference, on rgb_digits128 here)."""
     from npf_gwwaveform_tpu import GridConvCNP, GridConvLNP
     from npf_gwwaveform_tpu.ops.cnn import CNN
 
@@ -52,11 +56,16 @@ def build_model(name, dtype=None, padding="SAME", norm_eps=1e-3, y_dim=1):
                 n_channels=r_dim, n_blocks=n_blocks, kernel_size=9,
                 norm="batch", padding=padding,
                 block_kwargs={"n_conv_layers": 2, "norm_eps": norm_eps},
-                dtype=dtype, name=name,
+                remat=remat, dtype=dtype, name=name,
             )
 
         return make
 
+    if name == "GridConvCNPXL":
+        return GridConvCNP(
+            y_dim=y_dim, x_dim=1, r_dim=128, CNNFactory=cnn_factory(12),
+            conv_kernel_size=11, conv_padding=padding, dtype=dtype,
+        )
     if name == "GridConvCNP":
         return GridConvCNP(
             y_dim=y_dim, x_dim=1, r_dim=128, CNNFactory=cnn_factory(5),
@@ -91,6 +100,9 @@ def main():
     ap.add_argument("--out", default="results/")
     ap.add_argument("--run", type=int, default=0,
                     help="run index (artifact dir run_{N}; reference layout)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize CNN blocks on the backward pass "
+                    "(HBM lever for the 12-block 128px XL config)")
     args = ap.parse_args()
 
     from npf_gwwaveform_tpu.data import get_train_test_img_dataset
@@ -109,9 +121,10 @@ def main():
     # translation equivariance across the canvas change) with BatchNorm
     # eps 1e-2 (model_2d_extrap)
     if args.dataset == "zsmms":
-        model = build_model(args.model, padding="CIRCULAR", norm_eps=1e-2, y_dim=y_dim)
+        model = build_model(args.model, padding="CIRCULAR", norm_eps=1e-2,
+                            y_dim=y_dim, remat=args.remat)
     else:
-        model = build_model(args.model, y_dim=y_dim)
+        model = build_model(args.model, y_dim=y_dim, remat=args.remat)
     criterion = NLLLossLNPF() if "LNP" in args.model else CNPFLoss()
     is_point = args.model in POINT_MODELS
     test_upscale = getattr(train_ds, "test_upscale_factor", 1.0)

@@ -28,7 +28,11 @@ import jax as _jax
 # redirect with JAX_COMPILATION_CACHE_DIR (an empty value disables).
 if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
     try:
-        _jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        # separate cache per platform env: CPU processes (tests) and
+        # axon-tunnel TPU processes detect different machine features, and
+        # cross-loading AOT results triggers feature-mismatch warnings
+        _suffix = "_cpu" if _os.environ.get("JAX_PLATFORMS") == "cpu" else ""
+        _jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_cache{_suffix}")
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:  # older jaxlib without the knob: cache is an optimization only
         pass

@@ -200,6 +200,40 @@ class RGBDigitsDataset(GridImageDataset):
         super().__init__(rgb[sel], seed=seed)
 
 
+class RGBDigitsMosaicDataset(GridImageDataset):
+    """Offline CelebA128 stand-in: 128x128x3 mosaics of colorized digits.
+
+    The reference's large-image scale axis is ConvCNPXL on 128x128 CelebA
+    (ConvCNP.ipynb `model_2d_XL`, 12 blocks k=9; checkpoints at
+    results/pretrained/celeba128/ConvCNPXL). CelebA needs egress, so this
+    corpus plays celeba128's role the way `rgb_digits` plays CelebA32's:
+    each image is a 2x2 grid of four DIFFERENT digits (8x8 -> 64x64
+    nearest-upscaled), each tile independently colorized (foreground in
+    [0.3,1]^3, background tint in [0,0.25]^3). The mosaic gives the deep
+    12-block CNN multi-object structure at two scales — per-tile digit
+    strokes and cross-tile color boundaries — instead of one flat upscaled
+    glyph. Tiles are drawn from the same train/test digit folds as
+    DigitsDataset, so no digit leaks across the split; all draws are
+    seeded (reproducible without checked-in binaries)."""
+
+    def __init__(self, train: bool = True, n_images: int = None, seed: int = 0):
+        imgs, _ = _load_sklearn_digits(upscale=8)  # [N, 64, 64, 1]
+        n = imgs.shape[0]
+        split = int(0.9 * n)
+        order = np.random.default_rng(0).permutation(n)  # DigitsDataset folds
+        pool = imgs[order[:split] if train else order[split:]]
+        if n_images is None:
+            n_images = 1024 if train else 256
+        rng = np.random.default_rng(11 if train else 12)
+        idx = rng.integers(0, len(pool), (n_images, 4))
+        fg = rng.uniform(0.3, 1.0, (n_images, 4, 1, 1, 3)).astype(np.float32)
+        bg = rng.uniform(0.0, 0.25, (n_images, 4, 1, 1, 3)).astype(np.float32)
+        tiles = bg + pool[idx] * (fg - bg)  # [M, 4, 64, 64, 3]
+        top = np.concatenate([tiles[:, 0], tiles[:, 1]], axis=2)
+        bot = np.concatenate([tiles[:, 2], tiles[:, 3]], axis=2)
+        super().__init__(np.concatenate([top, bot], axis=1), seed=seed)
+
+
 class SingleImage(GridImageDataset):
     """Dataset of random crops-as-batches of ONE large image
     (ref imgs.py:485-506). Used for structured-image in-painting demos."""
@@ -240,6 +274,7 @@ class LocalNpzDataset(GridImageDataset):
 DATASETS_DICT = {
     "digits": DigitsDataset,
     "rgb_digits": RGBDigitsDataset,
+    "rgb_digits128": RGBDigitsMosaicDataset,
     "digits16": lambda train=True, seed=0: DigitsDataset(train, upscale=2, seed=seed),
     "zs_multi_digits": ZeroShotMultiDigits,
     "zsmms": ZeroShotMultiDigits,  # reference alias

@@ -243,6 +243,36 @@ def port_attncnp_transformer(torch_model) -> Dict:
     return d
 
 
+def port_selfattn(sa) -> Dict:
+    """Reference SelfAttention (selfattn.py:10-103): n stacked
+    TransformerAttenders + optional resize linear (out_dim given)."""
+    d = {f"attn_{i}": port_transformer_attender(a) for i, a in enumerate(sa.attn_layers)}
+    if getattr(sa, "is_resize", False):
+        d["resize"] = port_linear(sa.resize)
+    return d
+
+
+def port_merge_selfattn(mfi) -> Dict:
+    """MergeFlatInputs whose flat_module is a SelfAttention — the
+    reference's IMAGE Attn* xy_encoder (neuralproc/attnnp.py:88-91,
+    is_self_attn=True): sum-merge resizer MLP + 2-layer self-attention."""
+    return {
+        "resizer": port_mlp(mfi.resizer),
+        "SelfAttention_0": port_selfattn(mfi.flat_module),
+    }
+
+
+def port_attncnp_selfattn(torch_model) -> Dict:
+    """Image AttnCNP (AttnCNP.ipynb model_2d: is_self_attn=True,
+    attention='transformer'), e.g. results/pretrained/celeba32/AttnCNP."""
+    return {
+        "x_encoder": port_mlp(torch_model.x_encoder),
+        "xy_encoder": port_merge_selfattn(torch_model.xy_encoder),
+        "decoder": port_merge_flat(torch_model.decoder),
+        "attender": port_transformer_attender(torch_model.attender),
+    }
+
+
 def port_convcnp(torch_model) -> Dict:
     return {
         "cntxt_to_induced": port_setconv(torch_model.cntxt_to_induced),

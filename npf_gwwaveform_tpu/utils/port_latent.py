@@ -88,6 +88,51 @@ def port_attnlnp(torch_model) -> Dict:
     return d
 
 
+def port_attnlnp_selfattn(torch_model) -> Dict:
+    """Image AttnLNP (AttnLNP.ipynb model_2d: is_self_attn=True), e.g.
+    results/pretrained/celeba32/AttnLNP."""
+    from .port import port_attncnp_selfattn
+
+    d = port_attncnp_selfattn(torch_model)
+    d.update(_port_latent_bits(torch_model))
+    return d
+
+
+def port_gridconvlnp_pretrained(torch_model):
+    """Reference image GridConvLNP checkpoint (gridconvnp.py:181-320; e.g.
+    results/pretrained/celeba32/ConvLNP) -> (params, extra_vars). Same
+    per-channel abs-conv + resizer front end as GridConvCNP, BOTH BatchNorm
+    CNNs' running stats, Linear decoder, latent bits."""
+    from .port import _port_res_conv_block2d_bn, _t2j, port_conv2d
+
+    def cnn2d_bn(cnn):
+        blocks, stats = {}, {}
+        for i, b in enumerate(cnn.conv_blocks):
+            p, s = _port_res_conv_block2d_bn(b)
+            blocks[f"block_{i}"] = p
+            stats[f"block_{i}"] = s
+        return blocks, stats
+
+    b1, s1 = cnn2d_bn(torch_model.induced_to_induced)
+    b2, s2 = cnn2d_bn(torch_model.induced_to_induced_post_sampling)
+    abs_conv = getattr(torch_model.conv, "conv", torch_model.conv)
+    params = {
+        "conv": {"kernel": _t2j(abs_conv.weight).transpose(2, 3, 1, 0)},
+        "resizer": port_linear(torch_model.resizer),
+        "induced_to_induced": b1,
+        "induced_to_induced_post_sampling": b2,
+        "decoder": {"Dense_0": port_linear(torch_model.decoder.destination)},
+        **_port_latent_bits(torch_model),
+    }
+    extra = {
+        "batch_stats": {
+            "induced_to_induced": s1,
+            "induced_to_induced_post_sampling": s2,
+        }
+    }
+    return params, extra
+
+
 def port_convlnp_pretrained(torch_model):
     """Notebook-config ConvLNP (ConvLNP.ipynb: BatchNorm CNNs, 4 blocks each,
     Linear decoder, is_global=True), e.g. the reference's

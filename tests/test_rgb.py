@@ -128,3 +128,52 @@ def test_point_model_rgb_one_train_step():
     )
     state, metrics = trainer._train_step(state, y, y)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_rgb_digits128_mosaic_dataset():
+    """The celeba128 stand-in corpus (data/images.py RGBDigitsMosaicDataset):
+    128x128x3, seeded, fold-separated from the digit pool."""
+    from npf_gwwaveform_tpu.data import RGBDigitsMosaicDataset
+
+    tr = RGBDigitsMosaicDataset(train=True, n_images=8)
+    te = RGBDigitsMosaicDataset(train=False, n_images=4)
+    assert tr.shape == (128, 128, 3) and te.shape == (128, 128, 3)
+    imgs = np.asarray(tr.images)
+    assert imgs.shape == (8, 128, 128, 3)
+    assert imgs.min() >= 0.0 and imgs.max() <= 1.0
+    # mosaic structure: the four 64x64 quadrants have different colors
+    quads = np.stack(
+        [imgs[:, :64, :64], imgs[:, :64, 64:], imgs[:, 64:, :64], imgs[:, 64:, 64:]],
+        axis=1,
+    )  # [N, 4, 64, 64, 3]
+    qmeans = quads.mean(axis=(2, 3))  # [N, 4, 3]
+    assert (np.ptp(qmeans, axis=1).max(-1) > 0.02).all()
+    # deterministic regeneration
+    tr2 = RGBDigitsMosaicDataset(train=True, n_images=8)
+    np.testing.assert_array_equal(np.asarray(tr.images), np.asarray(tr2.images))
+
+
+def test_gridconvcnpxl_param_count():
+    """GridConvCNPXL (reproduce_img.build_model) must match the reference's
+    model_2d_XL exactly: 12 blocks, k=9, y_dim=3 -> 722,417 params
+    (ConvCNP.ipynb 'Number Parameters (2D XL)')."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from experiments.reproduce_img import build_model
+    from npf_gwwaveform_tpu.data.datasplit import (
+        GridCntxtTrgtSplitter, RandomMasker, no_masker,
+    )
+
+    m = build_model("GridConvCNPXL", y_dim=3)
+    sp = GridCntxtTrgtSplitter(
+        context_masker=RandomMasker(a=0.0, b=0.3), target_masker=no_masker
+    )
+    y0 = jnp.asarray(np.random.default_rng(0).uniform(size=(2, 16, 16, 3)).astype(np.float32))
+    batch = sp(jax.random.PRNGKey(0), y0, y0)
+    variables = m.init(
+        {"params": jax.random.PRNGKey(1), "latent": jax.random.PRNGKey(2)},
+        batch["X_cntxt"], batch["Y_cntxt"], batch["X_trgt"], batch["Y_trgt"],
+        mask_cntxt=batch["mask_cntxt"], mask_trgt=batch["mask_trgt"], train=True,
+    )
+    n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables["params"]))
+    assert n == 722_417
