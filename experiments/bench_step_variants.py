@@ -132,6 +132,19 @@ def mask_topk_scatter(key, B, N, a, b):
     return jnp.zeros((B, N), bool).at[rows, idx].set(sel)
 
 
+def mask_topk_threshold_lex(key, B, N, a, b):
+    """The ADOPTED production construction (datasplit.exact_topn_mask,
+    round 5): top_k threshold made bit-exact with a lexicographic
+    (value, index) tiebreak — the topk_threshold speed without the
+    tie-boundary over-selection, and no scatter."""
+    from npf_gwwaveform_tpu.data.datasplit import exact_topn_mask
+
+    kn, kp = jax.random.split(key)
+    n = jax.random.randint(kn, (), a, b + 1)
+    scores = jax.random.uniform(kp, (B, N))
+    return exact_topn_mask(scores, n, b, B)
+
+
 # ------------------------------------------------------------ fused GW step
 
 
@@ -185,6 +198,7 @@ def main():
             ("sort_threshold", mask_sort_threshold),
             ("topk_threshold", mask_topk_threshold),
             ("topk_scatter", mask_topk_scatter),
+            ("topk_threshold_lex", mask_topk_threshold_lex),
         ):
             # correctness gate: the selected count must equal the drawn n
             # (same key => same n across variants; double_argsort is the

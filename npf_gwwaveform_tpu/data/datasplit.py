@@ -156,22 +156,45 @@ class GetRandomIndcs:
         if static_ub is not None:
             if static_ub == 0:
                 return jnp.zeros((batch_size, n_points), bool)
-            # top_k of the negated scores = indices of the static_ub
-            # smallest scores in ascending order, with the same
-            # lower-index-first tie-breaking as the stable argsort below —
-            # the first n of them are exactly the points with rank < n
-            _, idx = jax.lax.top_k(-scores, static_ub)
-            idx = jnp.broadcast_to(idx, (batch_size, static_ub))
-            sel = jnp.broadcast_to(
-                jnp.arange(static_ub) < n_indcs, (batch_size, static_ub)
-            )
-            rows = jnp.arange(batch_size)[:, None]
-            return jnp.zeros((batch_size, n_points), bool).at[rows, idx].set(sel)
+            return exact_topn_mask(scores, n_indcs, static_ub, batch_size)
         ranks = jnp.argsort(jnp.argsort(scores, axis=-1), axis=-1)
         mask = ranks < n_indcs
         if self.is_batch_share:
             mask = jnp.broadcast_to(mask, (batch_size, n_points))
         return mask
+
+
+def exact_topn_mask(scores, n_indcs, static_ub, batch_size):
+    """Boolean mask of the n smallest-scoring positions per row, EXACTLY the
+    set the stable double-argsort rank construction selects (ties broken
+    lower-index-first), built scatter-free.
+
+    Mechanism: `top_k(-scores, ub)` yields the ub smallest scores ascending
+    (equal values ordered by ascending index — the property the previous
+    scatter construction already relied on). The n-th smallest (value, index)
+    pair is then a LEXICOGRAPHIC threshold: a position belongs to the mask
+    iff score < thr_val, or score == thr_val and index <= thr_idx. A plain
+    value threshold alone would over-select when f32 score ties span the
+    count boundary (~1.5e-5/row at N=256); the index tiebreak restores
+    bit-exactness. Replaces the XLA scatter (`.at[rows, idx].set`) with two
+    vector compares: 180.5us -> ~72us at the flagship mask shape
+    (results/step_variants.json topk_scatter vs topk_threshold rows).
+
+    scores: [S, N] with S in {1, batch_size}; n_indcs: scalar or [B, 1].
+    """
+    n_points = scores.shape[-1]
+    neg_vals, idx = jax.lax.top_k(-scores, static_ub)
+    vals = -neg_vals  # ascending
+    n_b = jnp.broadcast_to(n_indcs, (batch_size, 1))
+    sel_pos = jnp.clip(n_b - 1, 0, static_ub - 1)
+    vals_b = jnp.broadcast_to(vals, (batch_size, static_ub))
+    idx_b = jnp.broadcast_to(idx, (batch_size, static_ub))
+    thr_val = jnp.take_along_axis(vals_b, sel_pos, axis=-1)  # [B, 1]
+    thr_idx = jnp.take_along_axis(idx_b, sel_pos, axis=-1)  # [B, 1]
+    ar = jnp.arange(n_points)[None, :]
+    scores_b = jnp.broadcast_to(scores, (batch_size, n_points))
+    mask = (scores_b < thr_val) | ((scores_b == thr_val) & (ar <= thr_idx))
+    return mask & (n_b > 0)
 
 
 @dataclass(frozen=True)

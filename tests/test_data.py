@@ -146,6 +146,27 @@ def test_gw_mismatch_metric(gen):
     assert close < far  # nearby parameters -> smaller mismatch
 
 
+def test_exact_topn_mask_tie_boundary():
+    """exact_topn_mask's lexicographic threshold must select the SAME set as
+    the stable rank construction even when f32 score ties span the count
+    boundary — the case a value-only threshold over-selects (the reason the
+    fast sort_threshold variant was originally rejected; step_variants)."""
+    from npf_gwwaveform_tpu.data.datasplit import exact_topn_mask
+
+    # row 0: ties exactly AT the boundary (n=3 among four 0.2s);
+    # row 1: all-equal scores; row 2: no ties
+    scores = jnp.array([
+        [0.5, 0.2, 0.2, 0.9, 0.2, 0.2, 0.1, 0.8],
+        [0.3, 0.3, 0.3, 0.3, 0.3, 0.3, 0.3, 0.3],
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8],
+    ])
+    for n in [jnp.array([[3], [3], [3]]), jnp.array([[0], [5], [8]])]:
+        got = exact_topn_mask(scores, n, 8, 3)
+        ranks = jnp.argsort(jnp.argsort(scores, axis=-1, stable=True), axis=-1)
+        want = ranks < n
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_gw_fd_mismatch_metric(gen):
     """mismatch_fd: gauge-invariant (time + phase shifts) matched-filter
     metric for the freq_ap dual-output config (reproduce_gw.py eval)."""
