@@ -204,26 +204,33 @@ def print_ablation(markdown=False):
 def print_rgb():
     """y_dim=3 in-painting rows (the reference's CelebA32 axis; its recorded
     CelebA numbers are shown as an ordering anchor only — true CelebA needs
-    egress, the offline rgb_digits corpus plays its role)."""
+    egress, the offline rgb_digits corpus plays its role). 'bar' = the
+    reference's own celeba32 checkpoints weight-ported and scored on the
+    SAME offline corpus under the same masks/metric
+    (eval_pretrained_rgb.py) — the same-footing anchor."""
     ref = {"GridConvCNP": "ConvCNP", "GridConvLNP": "ConvLNP",
            "CNP": "CNP", "LNP": "LNP", "AttnCNP": "AttnCNP",
            "AttnLNP": "AttnLNP"}
+    bars = load_bars()
     rows = []
     for ours_name, ref_name in ref.items():
         rec = load_recorded_path(f"{REF_ROOT}/celeba32/{ref_name}/run_0/eval.csv")
+        bar = bars.get(("rgb_digits", ref_name))
         ours, meta = load_ours("rgb_digits", ours_name)
-        if ours is None:
+        if ours is None and bar is None:
             continue
-        rows.append((ours_name, rec, ours))
+        rows.append((ours_name, rec, bar, ours))
     if not rows:
         return
     print("\nrgb_digits in-painting (y_dim=3, LL/image; 'ref celeba32' = the "
-          "reference's recorded CelebA32 numbers, ordering anchor only — "
-          "different corpus):")
-    print(f"{'model':14s} {'ref celeba32':>13s} {'ours (rgb)':>12s}")
-    for m, rec, ours in rows:
+          "reference's recorded CelebA32 numbers (ordering anchor only — "
+          "different corpus); 'bar' = those checkpoints ported and scored "
+          "on THIS corpus):")
+    print(f"{'model':14s} {'ref celeba32':>13s} {'bar':>10s} {'ours (rgb)':>12s}")
+    for m, rec, bar, ours in rows:
         f = lambda v, w=12: f"{v:{w}.1f}" if v is not None else " " * (w - 1) + "—"
-        print(f"{m:14s} {f(rec, 13)} {f(ours)}")
+        star = " *" if ours is not None and bar is not None and ours >= bar else ""
+        print(f"{m:14s} {f(rec, 13)} {f(bar, 10)} {f(ours)}{star}")
 
 
 def print_gw():
