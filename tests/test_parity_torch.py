@@ -220,3 +220,32 @@ def test_res_conv_block_batchnorm_parity():
         t_out = tb(torch.from_numpy(x.transpose(0, 2, 1))).numpy().transpose(0, 2, 1)
     j_out = jb.apply({"params": p, "batch_stats": s}, jnp.asarray(x), train=False)
     np.testing.assert_allclose(np.asarray(j_out), t_out, atol=1e-3, rtol=1e-3)
+
+
+def test_attncnp_selfattn_image_parity():
+    """The reference's IMAGE Attn* config (AttnCNP.ipynb model_2d:
+    is_self_attn=True — 2-layer transformer self-attention xy-encoder with
+    sum-merge resizer + resize linear). port_attncnp_selfattn must
+    reproduce the torch forward exactly — the port behind the celeba32
+    ported bars (eval_pretrained_rgb.py)."""
+    from npf_gwwaveform_tpu.utils.port import port_attncnp_selfattn
+
+    torch.manual_seed(5)
+    tm = npf_torch.AttnCNP(
+        x_dim=2, y_dim=3, r_dim=R, attention="transformer", is_self_attn=True
+    )
+    params = port_attncnp_selfattn(tm)
+    model = AttnCNP(
+        y_dim=3, x_dim=2, r_dim=R, attention="transformer",
+        is_self_attn=True, XYEncoder=None,
+    )
+
+    rng = np.random.default_rng(5)
+    x_c = rng.uniform(-1, 1, (B, NC, 2)).astype(np.float32)
+    y_c = rng.normal(size=(B, NC, 3)).astype(np.float32)
+    x_t = rng.uniform(-1, 1, (B, NT, 2)).astype(np.float32)
+    t_loc, t_scale = _torch_forward(tm, x_c, y_c, x_t)
+    j_loc, j_scale = _jax_forward(model, params, x_c, y_c, x_t)
+
+    np.testing.assert_allclose(j_loc[0], t_loc[0], atol=ATOL, rtol=1e-4)
+    np.testing.assert_allclose(j_scale[0], t_scale[0], atol=ATOL, rtol=1e-4)
