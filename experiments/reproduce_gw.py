@@ -366,6 +366,18 @@ def main():
                 "train_loss": float(losses.mean()),
             })
             if i % max(1, n_chunks // 10) == 0:
+                # mid-run checkpoint in the run dir's resume format: a run
+                # killed by a tunnel outage (observed: executions hang >20
+                # min mid-chunk, then the queue timeout reaps the process)
+                # warm-resumes from the last decile via --resume-from
+                # instead of losing the whole leg
+                import flax.serialization as _ser
+
+                os.makedirs(run_dir, exist_ok=True)
+                with open(os.path.join(run_dir, "params.msgpack"), "wb") as f:
+                    f.write(_ser.to_bytes(state_host.params))
+                with open(os.path.join(run_dir, "extra_vars.msgpack"), "wb") as f:
+                    f.write(_ser.to_bytes(state_host.extra_vars))
                 print(
                     f"chunk {i}/{n_chunks} loss {float(losses.mean()):.2f} "
                     f"({(i*inner*args.batch)/(time.time()-t0):.0f} wf/s)",
